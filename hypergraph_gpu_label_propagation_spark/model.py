@@ -1,0 +1,174 @@
+"""The hypergraph data model as Spark relations.
+
+Reference mapping (SURVEY.md section 1.2):
+
+- the reference's adjacency + inverse-incidence + dual-CSR
+  ``FlatHypergraph`` (include/hypergraph.hpp:26-34, 118-122) is ONE
+  bipartite relation ``incidence(edge_id: long, vertex_id: long)``;
+  the two CSRs are the two hash-partitionings of that relation;
+- ``labels_`` (include/hypergraph.hpp:120) is
+  ``vertex_labels(vertex_id: long, label: int)``, defaulting to 0
+  (src/common/hypergraph.cpp:14);
+- ``freeze()``/``flatten()`` (src/common/hypergraph.cpp:51-83) is
+  "repartition by each side's key and persist": at cluster scale this
+  is a pair of bucketed table writes so every superstep's joins are
+  shuffle-free; in local mode ``persist()`` of an explicitly
+  hash-partitioned DataFrame keeps the partitioning in the cached
+  plan's outputPartitioning, which Catalyst reuses the same way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+INCIDENCE_SCHEMA = "edge_id long, vertex_id long"
+LABELS_SCHEMA = "vertex_id long, label int"
+
+
+@dataclass
+class HypergraphFrames:
+    """The raw relational form: one incidence table + one label table."""
+
+    incidence: DataFrame
+    vertex_labels: DataFrame
+    num_vertices: int
+    num_edges: int
+
+
+@dataclass
+class Hypergraph:
+    """A frozen (execution-form) hypergraph.
+
+    ``incidence_by_vertex`` / ``incidence_by_edge`` are the two
+    partition layouts of the incidence relation — the Spark analog of
+    the reference's vertex->edge and edge->vertex CSRs
+    (src/common/hypergraph.cpp:59-75).
+    """
+
+    spark: SparkSession
+    incidence_by_vertex: DataFrame
+    incidence_by_edge: DataFrame
+    vertex_labels: DataFrame
+    num_vertices: int
+    num_edges: int
+    num_partitions: int
+    _persisted: list[DataFrame] = field(default_factory=list)
+
+    # -- constructors -------------------------------------------------
+
+    @staticmethod
+    def from_frames(
+        frames: HypergraphFrames,
+        num_partitions: int | None = None,
+        validate: bool = False,
+    ) -> "Hypergraph":
+        return Hypergraph.freeze(
+            frames.incidence.sparkSession,
+            frames.incidence,
+            frames.vertex_labels,
+            num_vertices=frames.num_vertices,
+            num_edges=frames.num_edges,
+            num_partitions=num_partitions,
+            validate=validate,
+        )
+
+    @staticmethod
+    def freeze(
+        spark: SparkSession,
+        incidence: DataFrame,
+        vertex_labels: DataFrame | None = None,
+        num_vertices: int | None = None,
+        num_edges: int | None = None,
+        num_partitions: int | None = None,
+        validate: bool = False,
+    ) -> "Hypergraph":
+        """Build the execution form (the reference's freeze(),
+        src/common/hypergraph.cpp:80-83).
+
+        Computes the scalar counts once, optionally validates the
+        reference's construction invariants (empty-edge rejection and
+        vertex-id bounds, src/common/hypergraph.cpp:17-21), and caches
+        the two partition layouts.
+        """
+        if num_partitions is None:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+        incidence = incidence.select(
+            F.col("edge_id").cast("long").alias("edge_id"),
+            F.col("vertex_id").cast("long").alias("vertex_id"),
+        )
+
+        if num_vertices is None or num_edges is None:
+            row = incidence.agg(
+                (F.max("vertex_id") + 1).alias("nv"),
+                F.count_distinct("edge_id").alias("ne"),
+            ).collect()[0]
+            num_vertices = num_vertices if num_vertices is not None else int(row["nv"] or 0)
+            num_edges = num_edges if num_edges is not None else int(row["ne"] or 0)
+
+        if validate:
+            bad = incidence.filter(
+                (F.col("vertex_id") < 0) | (F.col("vertex_id") >= num_vertices)
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"{bad} incidence rows reference vertex ids outside "
+                    f"[0, {num_vertices}) (reference rejects these, hypergraph.cpp:19-21)"
+                )
+
+        if vertex_labels is None:
+            # labels default to 0 for every vertex (hypergraph.cpp:14)
+            vertex_labels = spark.range(num_vertices).select(
+                F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
+            )
+        vertex_labels = vertex_labels.select(
+            F.col("vertex_id").cast("long").alias("vertex_id"),
+            F.col("label").cast("int").alias("label"),
+        )
+
+        by_vertex = incidence.repartition(num_partitions, "vertex_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        by_edge = incidence.repartition(num_partitions, "edge_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hg = Hypergraph(
+            spark=spark,
+            incidence_by_vertex=by_vertex,
+            incidence_by_edge=by_edge,
+            vertex_labels=vertex_labels,
+            num_vertices=num_vertices,
+            num_edges=num_edges,
+            num_partitions=num_partitions,
+        )
+        hg._persisted = [by_vertex, by_edge]
+        return hg
+
+    # -- accessors (reference hypergraph.cpp:36-49) --------------------
+
+    def degrees(self) -> DataFrame:
+        """(vertex_id, degree) — the reference's degrees_ array; degree-0
+        vertices are present with degree 0."""
+        counted = self.incidence_by_vertex.groupBy("vertex_id").agg(
+            F.count("*").alias("degree")
+        )
+        universe = self.spark.range(self.num_vertices).select(F.col("id").alias("vertex_id"))
+        return universe.join(counted, "vertex_id", "left").select(
+            "vertex_id", F.coalesce("degree", F.lit(0)).alias("degree")
+        )
+
+    def edge_sizes(self) -> DataFrame:
+        """(edge_id, edge_size) — the reference's edge_sizes_ array."""
+        return self.incidence_by_edge.groupBy("edge_id").agg(F.count("*").alias("edge_size"))
+
+    def vertices(self) -> DataFrame:
+        return self.spark.range(self.num_vertices).select(F.col("id").alias("vertex_id"))
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []

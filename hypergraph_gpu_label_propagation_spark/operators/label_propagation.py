@@ -1,0 +1,182 @@
+"""Hypergraph label propagation: the reference's two-phase superstep as
+DataFrame gather-scatter, iterated by a Python driver loop.
+
+Superstep contract (reference semantics, SURVEY.md section 2.4; all four
+backends identical — src/openmp/label_propagation_openmp.cpp:58-158):
+
+1. edge gather: edge_label[e] = majority(labels of member vertices)
+2. vertex gather: label[v] = majority(labels of incident edges);
+   degree-0 vertices get label 0
+3. changes = count(new != old); stop iff changes/nv < tolerance
+   (strict <, checked after applying the update)
+
+The driver loop crosses the Python/JVM boundary exactly where the
+reference crosses host/device: at superstep launch (one Spark job) and
+at the change-count reduction (one collected scalar — the analog of the
+reference's device->host ``changes`` copy, cuda.cu:275-277).
+
+Scale design:
+- both joins hit the pre-partitioned incidence layouts (the frozen
+  dual-CSR analog) — only the (small, one-row-per-id) label frames
+  shuffle each superstep;
+- the majority kernel is a single bounded count-vector aggregation per
+  phase (see operators/majority.py) — map-side partial aggregation
+  absorbs hyperedge/vertex skew exactly;
+- ``localCheckpoint`` per superstep truncates lineage so plan size stays
+  O(1) in the iteration count;
+- optional durable checkpointing writes the label state + metrics per
+  superstep so a killed run resumes mid-iteration (north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.majority import majority_label
+
+DEFAULT_MAX_LABELS = 10  # argparse.cpp:277 / cuda.cu:13
+
+
+def edge_majority_step(
+    hg_incidence_by_vertex: DataFrame,
+    vertex_labels: DataFrame,
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Phase 1: (edge_id, label) — per-edge majority of member-vertex labels.
+
+    Edges exist iff they have >= 1 member (empty edges are rejected at
+    construction, hypergraph.cpp:17), so an inner join covers every edge.
+    """
+    gathered = hg_incidence_by_vertex.join(vertex_labels, "vertex_id")
+    return majority_label(gathered, "edge_id", "label", max_labels, out_col="label")
+
+
+def vertex_majority_step(
+    hg_incidence_by_edge: DataFrame,
+    edge_labels: DataFrame,
+    vertex_universe: DataFrame,
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Phase 2: (vertex_id, label) for EVERY vertex in the universe;
+    degree-0 vertices get label 0 (argmax of all-zero counts)."""
+    gathered = hg_incidence_by_edge.join(edge_labels, "edge_id").select("vertex_id", "label")
+    maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
+    return vertex_universe.join(maj, "vertex_id", "left").select(
+        "vertex_id", F.coalesce("_maj", F.lit(0)).cast("int").alias("label")
+    )
+
+
+def lp_superstep(hg: Hypergraph, vertex_labels: DataFrame, max_labels: int = DEFAULT_MAX_LABELS) -> DataFrame:
+    """One full superstep; returns (vertex_id, label, changed)."""
+    edge_labels = edge_majority_step(hg.incidence_by_vertex, vertex_labels, max_labels)
+    old = vertex_labels.select("vertex_id", F.col("label").alias("_old"))
+    new = vertex_majority_step(hg.incidence_by_edge, edge_labels, old.select("vertex_id"), max_labels)
+    return new.join(old, "vertex_id").select(
+        "vertex_id",
+        "label",
+        (F.col("label") != F.col("_old")).cast("int").alias("changed"),
+    )
+
+
+@dataclass
+class SuperstepMetrics:
+    superstep: int
+    changes: int
+    change_ratio: float
+    wall_ms: float
+
+
+@dataclass
+class LPResult:
+    labels: DataFrame  # (vertex_id, label), one row per vertex
+    iterations: int
+    converged: bool
+    metrics: list[SuperstepMetrics] = field(default_factory=list)
+
+
+def _labels_path(checkpoint_dir: str, superstep: int) -> str:
+    return os.path.join(checkpoint_dir, f"labels_superstep={superstep:05d}")
+
+
+def find_resume_point(spark, checkpoint_dir: str) -> tuple[DataFrame, int] | None:
+    """Latest durable label snapshot under ``checkpoint_dir``, or None."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    snaps = sorted(
+        d for d in os.listdir(checkpoint_dir)
+        if d.startswith("labels_superstep=") and os.path.exists(
+            os.path.join(checkpoint_dir, d, "_SUCCESS")
+        )
+    )
+    if not snaps:
+        return None
+    superstep = int(snaps[-1].split("=")[1])
+    df = spark.read.parquet(os.path.join(checkpoint_dir, snaps[-1]))
+    return df.select("vertex_id", "label"), superstep
+
+
+def label_propagation(
+    hg: Hypergraph,
+    init_labels: DataFrame | None = None,
+    max_labels: int = DEFAULT_MAX_LABELS,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    verbose: bool = False,
+) -> LPResult:
+    """Run LP to convergence (reference loop openmp:58-158, defaults
+    argparse.hpp:26-27: iterations=100, tolerance=1e-6).
+
+    ``checkpoint_dir`` enables durable per-superstep snapshots (labels
+    parquet + metrics jsonl) for mid-run resume; ``resume=True`` picks
+    up from the latest snapshot in that directory.
+    """
+    labels = init_labels if init_labels is not None else hg.vertex_labels
+    labels = labels.select(
+        F.col("vertex_id").cast("long").alias("vertex_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    start_step = 0
+    if resume and checkpoint_dir:
+        found = find_resume_point(hg.spark, checkpoint_dir)
+        if found is not None:
+            labels, start_step = found
+            if verbose:
+                print(f"[lp] resuming from superstep {start_step}")
+
+    labels = labels.localCheckpoint(eager=True)
+    nv = float(hg.num_vertices)
+    metrics: list[SuperstepMetrics] = []
+    converged = False
+    iterations = start_step
+
+    for step in range(start_step, max_iterations):
+        t0 = time.monotonic()
+        stepped = lp_superstep(hg, labels, max_labels).localCheckpoint(eager=True)
+        changes = stepped.agg(F.sum("changed")).collect()[0][0] or 0
+        labels.unpersist()
+        labels = stepped.select("vertex_id", "label")
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        iterations = step + 1
+        m = SuperstepMetrics(iterations, int(changes), changes / nv if nv else 0.0, wall_ms)
+        metrics.append(m)
+        if verbose and iterations % 10 == 0:
+            print(f"[lp] superstep {iterations}: changes={changes}")
+        if checkpoint_dir and (iterations % checkpoint_every == 0):
+            labels.write.mode("overwrite").parquet(_labels_path(checkpoint_dir, iterations))
+            with open(os.path.join(checkpoint_dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(m.__dict__) + "\n")
+        if changes / nv < tolerance:  # strict <, post-update (openmp:148-154)
+            converged = True
+            break
+
+    return LPResult(labels=labels, iterations=iterations, converged=converged, metrics=metrics)

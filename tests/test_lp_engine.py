@@ -1,0 +1,137 @@
+"""Spark LP engine vs the NumPy oracle: exact per-vertex label parity
+(SURVEY.md section 5.2) plus Spark-specific invariants (partition-count
+independence, fixed-point property)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import incidence_from_edges, labels_df
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+    label_propagation,
+    lp_superstep,
+)
+from hypergraph_gpu_label_propagation_spark.oracle import (
+    oracle_label_propagation,
+    oracle_superstep,
+)
+
+
+def _rng_hypergraph(seed, nv=60, ne=120, kmin=2, kmax=5):
+    rng = np.random.default_rng(seed)
+    edges = []
+    for _ in range(ne):
+        k = int(rng.integers(kmin, kmax + 1))
+        edges.append(sorted(rng.choice(nv, size=min(k, nv), replace=False).tolist()))
+    return edges
+
+
+def _freeze(spark, edges, nv, parts=8):
+    inc = incidence_from_edges(spark, edges)
+    return Hypergraph.freeze(spark, inc, num_vertices=nv, num_edges=len(edges), num_partitions=parts)
+
+
+def _collect_labels(df, nv):
+    rows = df.collect()
+    out = np.zeros(nv, dtype=np.int32)
+    for r in rows:
+        out[r["vertex_id"]] = r["label"]
+    assert len(rows) == nv, "labels frame must have exactly one row per vertex"
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges,labels,nv",
+    [
+        ([[0, 1], [1, 2], [2, 3]], [0, 1, 1, 0], 4),                 # tiny_path
+        ([[0, 1, 2, 3]], [2, 2, 1, 1], 4),                           # tiny_tie
+        ([[0, 1], [1, 2]], [-1, -1, 3, 5], 4),                       # unlabeled + isolated v3
+        ([[0, 1, 2], [2, 3], [3, 4, 5], [5, 0]], [5, 4, 3, 2, 1, 0], 6),
+    ],
+)
+def test_superstep_parity_micro(spark, edges, labels, nv):
+    hg = _freeze(spark, edges, nv)
+    init = labels_df(spark, labels)
+    got = lp_superstep(hg, init)
+    want, want_changes = oracle_superstep(edges, np.array(labels, dtype=np.int32), nv)
+    got_labels = _collect_labels(got.select("vertex_id", "label"), nv)
+    assert got_labels.tolist() == want.tolist()
+    got_changes = got.agg({"changed": "sum"}).collect()[0][0]
+    assert got_changes == want_changes
+    hg.unpersist()
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_full_lp_parity_random(spark, seed):
+    nv = 60
+    edges = _rng_hypergraph(seed, nv=nv, ne=120)
+    rng = np.random.default_rng(seed + 1000)
+    init = rng.integers(0, 6, size=nv).astype(np.int32)
+    # sprinkle unlabeled sentinels
+    init[rng.choice(nv, size=5, replace=False)] = -1
+
+    hg = _freeze(spark, edges, nv)
+    res = label_propagation(hg, labels_df(spark, init.tolist()), max_labels=6, max_iterations=100)
+    want = oracle_label_propagation(edges, init, nv, max_labels=6, max_iterations=100)
+    got = _collect_labels(res.labels, nv)
+    assert got.tolist() == want.labels.tolist()
+    assert res.iterations == want.iterations
+    assert res.converged == want.converged
+    assert [m.changes for m in res.metrics] == want.changes_per_iter
+    hg.unpersist()
+
+
+def test_partition_count_independence(spark):
+    """The critical Spark-specific property: result identical at any
+    parallelism (the C++ code gets this for free; we must assert it)."""
+    nv = 50
+    edges = _rng_hypergraph(99, nv=nv, ne=100)
+    init = (np.arange(nv) % 7).astype(np.int32)
+    results = []
+    for parts in (1, 4, 16):
+        hg = _freeze(spark, edges, nv, parts=parts)
+        res = label_propagation(hg, labels_df(spark, init.tolist()), max_labels=7)
+        results.append((_collect_labels(res.labels, nv).tolist(), res.iterations))
+        hg.unpersist()
+    assert results[0] == results[1] == results[2]
+
+
+def test_converged_state_is_fixed_point(spark):
+    nv = 40
+    edges = _rng_hypergraph(3, nv=nv, ne=80)
+    hg = _freeze(spark, edges, nv)
+    init = labels_df(spark, (np.arange(nv) % 5).tolist())
+    res = label_propagation(hg, init, max_labels=5)
+    if res.converged:
+        again = lp_superstep(hg, res.labels)
+        assert (again.agg({"changed": "sum"}).collect()[0][0] or 0) == 0
+    hg.unpersist()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-after-k / resume-from-checkpoint parity (SURVEY.md section 5.5)."""
+    nv = 60
+    edges = _rng_hypergraph(11, nv=nv, ne=150)
+    init = (np.arange(nv) % 6).astype(np.int32)
+
+    full = label_propagation(
+        _freeze(spark, edges, nv), labels_df(spark, init.tolist()), max_labels=6
+    )
+    full_labels = _collect_labels(full.labels, nv)
+
+    ckpt = str(tmp_path / "ckpt")
+    hg = _freeze(spark, edges, nv)
+    label_propagation(
+        hg, labels_df(spark, init.tolist()), max_labels=6,
+        max_iterations=1, checkpoint_dir=ckpt,
+    )
+    resumed = label_propagation(
+        hg, labels_df(spark, init.tolist()), max_labels=6,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    assert _collect_labels(resumed.labels, nv).tolist() == full_labels.tolist()
+    assert resumed.iterations == full.iterations
+    hg.unpersist()
