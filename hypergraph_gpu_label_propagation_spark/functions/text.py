@@ -1,0 +1,99 @@
+"""Text-analysis functions for the training-data pipeline.
+
+Everything here is a composition of built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage codegen) — no Python UDFs.  Each function has an
+exact ANSI-SQL twin used by the DuckDB oracle in ``__spark_entry__``,
+so the semantics are pinned cross-engine:
+
+- tokenization = split on a single space (the synthetic corpus is
+  single-space separated; swap the delimiter for real corpora);
+- token/char counting, type-token (distinct) ratio, stopword ratio;
+- language ID = majority vote of per-language marker-word hits
+  (tie-break: count desc, lang asc; no hits -> 'und');
+- document fingerprint = md5 of the sorted distinct token set (an
+  order-insensitive content fingerprint for clustering/dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# marker vocabularies for the n-gram-free language-ID heuristic;
+# deliberately tiny and deterministic (extend per corpus)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "de", "es", "que"],
+    "fr": ["le", "la", "et", "est", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_tokens, n_distinct, distinct_ratio, stopword_ratio)
+    — the length/diversity/stopword quality signals, rounded to 6 for
+    cross-engine comparability."""
+    t = F.col(text_col)
+    nt = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        nt.alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct"),
+        F.round(distinct_token_count(t) / nt, 6).alias("distinct_ratio"),
+        F.round(stopword_count(t) / nt, 6).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def lang_markers_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, words in sorted(LANG_MARKERS.items()) for w in words]
+
+
+def detect_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_guess) — majority marker-word vote; deterministic
+    tie-break (hits desc, lang asc); 'und' when no marker hits."""
+    spark = df.sparkSession
+    markers = spark.createDataFrame(lang_markers_rows(), "lang_cand string, word string")
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+    hits = (
+        tok.join(F.broadcast(markers), "word")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    # deterministic argmax: max hit count, alphabetically-smallest lang on ties
+    maxh = hits.groupBy(id_col).agg(F.max("hits").alias("hits"))
+    winner = (
+        hits.join(maxh, [id_col, "hits"])
+        .groupBy(id_col)
+        .agg(F.min("lang_cand").alias("lang_guess"))
+    )
+    return df.select(id_col).join(winner, id_col, "left").select(
+        id_col, F.coalesce("lang_guess", F.lit("und")).alias("lang_guess")
+    )

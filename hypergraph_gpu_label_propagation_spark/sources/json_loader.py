@@ -1,0 +1,162 @@
+"""JSON hypergraph ingestion — both reference schemas.
+
+Reference parser: include/utils.hpp:153-298 (hand-rolled stream parser).
+
+Simple schema (utils.hpp:185-224, README.md:119-131)::
+
+    {"num_vertices": N, "edges"|"hyperedges": [[v, ...], ...],
+     "labels": [...]?}
+
+  - key aliases: num_vertices | vertices | numVertices;
+  - hyperedges must be non-empty; labels length must equal num_vertices.
+
+Rich schema (utils.hpp:225-288, README.md:147-150) — triggered by any of
+``type == "hypergraph"``, ``node-data``, ``edge-dict``::
+
+    {"type": "hypergraph", "hypergraph-data": {...},
+     "node-data": {sid: attrs, ...}, "edge-dict": {eid: [sid, ...], ...}}
+
+  - string vertex ids densified 0..N-1 in FIRST-SEEN order: node-data
+    keys first (document order), then edge-dict members (utils.hpp:167-175);
+  - vertex set = union of node-data keys and edge-dict members;
+  - edge-dict keys are ignored; edge order = document order;
+  - top-level "labels" allowed, length must equal the union size.
+
+Parity requires document order, which ``json.loads`` preserves (Python
+dicts are insertion-ordered), so parsing happens driver-side and the
+result is parallelized — correct and exact for the reference's dataset
+sizes (millions of edges).  For bulk distributed ingest of
+simple-schema files use :func:`load_json_simple_distributed`, which
+keeps everything in ``spark.read.json`` + ``posexplode``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.model import HypergraphFrames
+
+_SIMPLE_NV_KEYS = ("num_vertices", "vertices", "numVertices")
+
+
+def _frames_from_edges(
+    spark: SparkSession,
+    edges: list[list[int]],
+    num_vertices: int,
+    labels: list[int] | None,
+) -> HypergraphFrames:
+    inc_rows = [(e, int(v)) for e, members in enumerate(edges) for v in members]
+    incidence = spark.createDataFrame(inc_rows, "edge_id long, vertex_id long")
+    if labels is not None:
+        if len(labels) != num_vertices:
+            raise ValueError(
+                "JSON: labels size must equal number of vertices (utils.hpp:293-295)"
+            )
+        lab = spark.createDataFrame(
+            [(i, int(l)) for i, l in enumerate(labels)], "vertex_id long, label int"
+        )
+    else:
+        lab = spark.range(num_vertices).select(
+            F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
+        )
+    return HypergraphFrames(incidence, lab, num_vertices, len(edges))
+
+
+def load_hypergraph_json(spark: SparkSession, path_or_text: str) -> HypergraphFrames:
+    """Load either schema from a file path or a JSON string; schema is
+    detected the way the reference does (rich iff type/node-data/edge-dict
+    present, utils.hpp:279-281)."""
+    if path_or_text.lstrip().startswith("{"):
+        doc = json.loads(path_or_text)
+    else:
+        with open(path_or_text) as f:
+            doc = json.load(f)
+
+    is_rich = (
+        doc.get("type") == "hypergraph" or "node-data" in doc or "edge-dict" in doc
+    )
+    labels = doc.get("labels")
+
+    if not is_rich:
+        num_vertices = 0
+        for k in _SIMPLE_NV_KEYS:
+            if k in doc:
+                num_vertices = int(doc[k])
+        if num_vertices <= 0:
+            raise ValueError("JSON: missing/invalid num_vertices (utils.hpp:310)")
+        edges = doc.get("edges", doc.get("hyperedges", []))
+        for e in edges:
+            if not e:
+                raise ValueError("JSON: hyperedge cannot be empty (utils.hpp:317)")
+            for v in e:
+                if not (0 <= int(v) < num_vertices):
+                    raise ValueError("JSON: vertex id out of range (hypergraph.cpp:19-21)")
+        return _frames_from_edges(spark, edges, num_vertices, labels)
+
+    # rich schema: first-seen-order densification
+    idmap: dict[str, int] = {}
+
+    def ensure_id(sid: str) -> int:
+        if sid not in idmap:
+            idmap[sid] = len(idmap)
+        return idmap[sid]
+
+    for sid in doc.get("node-data", {}):
+        ensure_id(sid)
+    edges = []
+    for _eid, members in doc.get("edge-dict", {}).items():
+        if not members:
+            raise ValueError("JSON: hyperedge cannot be empty (utils.hpp:317)")
+        edges.append([ensure_id(s) for s in members])
+    if not idmap:
+        raise ValueError("JSON: no vertices found in node-data/edge-dict")
+    return _frames_from_edges(spark, edges, len(idmap), labels)
+
+
+def load_json_simple_distributed(spark: SparkSession, path: str) -> HypergraphFrames:
+    """Fully distributed simple-schema ingest: spark.read.json(multiLine)
+    + posexplode — for bulk files too large for driver parsing."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    cols = set(raw.columns)
+    edges_col = "edges" if "edges" in cols else "hyperedges"
+    nv_col = next(k for k in _SIMPLE_NV_KEYS if k in cols)
+    num_vertices = int(raw.select(nv_col).collect()[0][0])
+    exploded = raw.select(F.posexplode(edges_col).alias("edge_id", "_members"))
+    incidence = exploded.select(
+        "edge_id", F.explode("_members").alias("vertex_id")
+    ).select(F.col("edge_id").cast("long"), F.col("vertex_id").cast("long"))
+    if "labels" in cols:
+        labels = raw.select(F.posexplode("labels").alias("vertex_id", "label")).select(
+            F.col("vertex_id").cast("long"), F.col("label").cast("int")
+        )
+    else:
+        labels = spark.range(num_vertices).select(
+            F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
+        )
+    num_edges = incidence.select("edge_id").distinct().count()
+    return HypergraphFrames(incidence, labels, num_vertices, num_edges)
+
+
+def save_hypergraph_json(frames: HypergraphFrames, path: str) -> None:
+    """Write the simple schema (collects to driver — interop util for
+    small graphs, mirroring save_to_file's role, hypergraph.cpp:293-326)."""
+    edges_rows = (
+        frames.incidence.groupBy("edge_id")
+        .agg(F.sort_array(F.collect_list("vertex_id")).alias("ms"))
+        .orderBy("edge_id")
+        .collect()
+    )
+    labels = [
+        r["label"]
+        for r in frames.vertex_labels.orderBy("vertex_id").collect()
+    ]
+    doc = {
+        "num_vertices": frames.num_vertices,
+        "edges": [r["ms"] for r in edges_rows],
+        "labels": labels,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)

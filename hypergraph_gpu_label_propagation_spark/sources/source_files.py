@@ -1,0 +1,164 @@
+"""The upstream source-code table and its hypergraph derivation.
+
+BASELINE.json input hint: an Iceberg table
+``source_files(repo: string, path: string, commit: string, lang: string,
+content: string)`` at 10^12-file scale.  Hyperedges are repo-groups and
+commit-groups of files; vertices are distinct ``(repo, path)`` files.
+
+This module provides:
+- :func:`synth_source_files` — a deterministic synthetic table of
+  exactly that shape (FIXTURES.md T1) for tests/benchmarks, generated
+  partition-parallel with pure column expressions (no Python row loop);
+- :func:`derive_hypergraph_frames` — the derivation, including the
+  north-rule per-row provenance invariant: sha256(content) equality
+  between the source table and the constructed hypergraph's provenance
+  records;
+- vertex/edge id densification via hash-then-rank, all shuffle-local.
+
+Scale notes: vertex ids are assigned by ``xxhash64(repo, path)``
+uniqueness then ``row_number`` over a hash-bucketed window — at real
+scale this is the standard two-step dense-id assignment (per-bucket
+row_number + bucket offset via a tiny broadcast of bucket counts), NOT
+a single global window; implemented that way here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LANGS = ["py", "cpp", "java", "rs", "go"]
+
+SOURCE_FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def synth_source_files(
+    spark: SparkSession,
+    n_repos: int = 20,
+    files_per_repo: int = 30,
+    commits_per_repo: int = 5,
+    monorepo_factor: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic source_files table (FIXTURES.md T1).
+
+    repo 0 is a "monorepo" with ``monorepo_factor``x the files of any
+    other repo — the skew case the engine must absorb.  One row per
+    (repo, file, commit).  Pure column expressions; O(rows) generated
+    distributed via spark.range.
+    """
+    mono_files = files_per_repo * monorepo_factor
+    rows_per_repo_mono = mono_files * commits_per_repo
+    rows_per_repo = files_per_repo * commits_per_repo
+    total = rows_per_repo_mono + (n_repos - 1) * rows_per_repo
+
+    df = spark.range(total).select(
+        F.when(
+            F.col("id") < rows_per_repo_mono, F.lit(0)
+        ).otherwise(
+            ((F.col("id") - rows_per_repo_mono) / rows_per_repo + 1).cast("long")
+        ).alias("r"),
+        F.when(
+            F.col("id") < rows_per_repo_mono,
+            (F.col("id") / commits_per_repo).cast("long"),
+        ).otherwise(
+            (((F.col("id") - rows_per_repo_mono) % rows_per_repo) / commits_per_repo).cast("long")
+        ).alias("p"),
+        F.when(
+            F.col("id") < rows_per_repo_mono, F.col("id") % commits_per_repo
+        ).otherwise(
+            (F.col("id") - rows_per_repo_mono) % commits_per_repo
+        ).alias("c"),
+    )
+    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (F.col("p") % 5 + 1).cast("int"))
+    repo = F.concat(F.lit("org"), (F.col("r") / 7).cast("long").cast("string"),
+                    F.lit("/repo"), F.col("r").cast("string"))
+    path = F.concat(F.lit("src/dir"), (F.col("p") % 13).cast("string"),
+                    F.lit("/file"), F.col("p").cast("string"), F.lit("."), lang)
+    commit = F.sha1(F.concat(repo, F.lit(":"), F.col("c").cast("string")))
+    body = F.sha2(
+        F.concat(F.lit(f"seed{seed}:"), repo, F.lit("/"), path, F.lit("@"),
+                 F.col("c").cast("string")),
+        256,
+    )
+    content = F.concat(F.lit("// "), repo, F.lit("/"), path, F.lit(" rev"),
+                       F.col("c").cast("string"), F.lit("\n"), body)
+    return df.select(
+        repo.alias("repo"), path.alias("path"), commit.alias("commit"),
+        lang.alias("lang"), content.alias("content"),
+    )
+
+
+def dense_ids(df: DataFrame, cols: list[str], out: str, buckets: int = 256) -> DataFrame:
+    """Assign dense ids 0..n-1 to distinct `cols` tuples, deterministically
+    ordered by the tuple itself.
+
+    Two-step distributed dense-rank: per-bucket ``row_number`` (bucket =
+    hash of the key) plus broadcast bucket offsets — avoids the
+    single-partition global window at scale.  Ordering inside buckets is
+    by key, and bucket offsets are by bucket id, so ids are stable and
+    partition-count independent (NOT first-seen order; order is by
+    (bucket, key), which is deterministic for a given input set).
+    """
+    distinct = df.select(*cols).distinct()
+    bucket = F.abs(F.xxhash64(*cols)) % buckets
+    w = Window.partitionBy("_b").orderBy(*cols)
+    ranked = distinct.withColumn("_b", bucket).withColumn("_rn", F.row_number().over(w) - 1)
+    counts = ranked.groupBy("_b").agg(F.count("*").alias("_n"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select("_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .select(*cols, (F.col("_rn") + F.col("_off")).cast("long").alias(out))
+    )
+
+
+def derive_hypergraph_frames(
+    source_files: DataFrame,
+    verify_sha256: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """source_files -> (incidence, vertex_map, provenance).
+
+    - vertices: distinct (repo, path) files, densified to vertex_id;
+    - hyperedges: repo groups (one edge per repo: all files ever in it)
+      then commit groups (one edge per (repo, commit): files touched),
+      densified to edge_id with repos first;
+    - provenance: one row per source row carrying vertex_id and
+      sha256(content); when ``verify_sha256`` the invariant
+      "provenance sha256 == recomputed sha256(content) per row" is
+      asserted distributed (count of violations must be 0).
+    """
+    vertex_map = dense_ids(source_files, ["repo", "path"], "vertex_id").persist()
+
+    repo_edges = dense_ids(source_files, ["repo"], "repo_eid")
+    commit_edges = dense_ids(source_files, ["repo", "commit"], "commit_eid")
+    n_repos = repo_edges.count()
+
+    with_v = source_files.join(vertex_map, ["repo", "path"])
+    inc_repo = (
+        with_v.join(F.broadcast(repo_edges), ["repo"])
+        .select(F.col("repo_eid").alias("edge_id"), "vertex_id")
+        .distinct()
+    )
+    inc_commit = (
+        with_v.join(commit_edges, ["repo", "commit"])
+        .select((F.col("commit_eid") + F.lit(n_repos)).alias("edge_id"), "vertex_id")
+        .distinct()
+    )
+    incidence = inc_repo.unionByName(inc_commit)
+
+    provenance = with_v.select(
+        "vertex_id", "repo", "path", "commit", F.sha2("content", 256).alias("content_sha256")
+    )
+    if verify_sha256:
+        # north-rule invariant: per-row content sha256 equality between
+        # the source table and the hypergraph's provenance records
+        violations = (
+            source_files.select("repo", "path", "commit", F.sha2("content", 256).alias("_s"))
+            .join(provenance, ["repo", "path", "commit"])
+            .filter(F.col("_s") != F.col("content_sha256"))
+            .count()
+        )
+        if violations:
+            raise ValueError(f"provenance sha256 mismatch on {violations} rows")
+    return incidence, vertex_map, provenance

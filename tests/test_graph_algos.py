@@ -1,0 +1,108 @@
+"""PageRank / connected components / triangle counting vs NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import incidence_from_edges
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.components import connected_components
+from hypergraph_gpu_label_propagation_spark.operators.pagerank import hypergraph_pagerank
+from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+    per_vertex_triangle_count,
+    triangle_count,
+)
+from hypergraph_gpu_label_propagation_spark.oracle import (
+    oracle_connected_components,
+    oracle_hypergraph_pagerank,
+    oracle_triangle_count,
+)
+
+
+def _rng_hypergraph(seed, nv=40, ne=80, kmin=2, kmax=5):
+    rng = np.random.default_rng(seed)
+    return [
+        sorted(rng.choice(nv, size=int(rng.integers(kmin, kmax + 1)), replace=False).tolist())
+        for _ in range(ne)
+    ]
+
+
+def _freeze(spark, edges, nv):
+    return Hypergraph.freeze(
+        spark, incidence_from_edges(spark, edges), num_vertices=nv, num_edges=len(edges),
+        num_partitions=8,
+    )
+
+
+def test_pagerank_allclose(spark):
+    nv = 40
+    edges = _rng_hypergraph(5, nv=nv, ne=60)
+    # add an isolated vertex by using nv+1 universe
+    hg = _freeze(spark, edges, nv + 1)
+    res = hypergraph_pagerank(hg, damping=0.85, tol=1e-12)
+    got = np.zeros(nv + 1)
+    for r in res.ranks.collect():
+        got[r["vertex_id"]] = r["rank"]
+    want = oracle_hypergraph_pagerank(edges, nv + 1, damping=0.85, tol=1e-12)
+    assert res.converged
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert np.allclose(got, want, atol=1e-6)  # north-rule bar
+    hg.unpersist()
+
+
+def test_connected_components_exact(spark):
+    edges = [[0, 1, 2], [2, 3], [5, 6], [7, 8], [8, 9]]
+    nv = 11
+    hg = _freeze(spark, edges, nv)
+    res = connected_components(hg)
+    got = {r["vertex_id"]: r["component"] for r in res.components.collect()}
+    want = oracle_connected_components(edges, nv)
+    assert res.converged
+    assert [got[v] for v in range(nv)] == want.tolist()
+    hg.unpersist()
+
+
+def test_connected_components_random(spark):
+    nv = 60
+    edges = _rng_hypergraph(8, nv=nv, ne=25)  # sparse -> several components
+    hg = _freeze(spark, edges, nv)
+    res = connected_components(hg)
+    got = {r["vertex_id"]: r["component"] for r in res.components.collect()}
+    want = oracle_connected_components(edges, nv)
+    assert [got[v] for v in range(nv)] == want.tolist()
+    hg.unpersist()
+
+
+def test_triangle_count_exact(spark):
+    for edges, nv in [
+        ([[0, 1, 2, 3]], 4),                      # K4 -> 4 triangles
+        ([[0, 1], [1, 2], [2, 3]], 4),            # path -> 0
+        ([[0, 1], [1, 2], [0, 2]], 3),            # 1 triangle
+    ]:
+        hg = _freeze(spark, edges, nv)
+        got = triangle_count(hg).collect()[0]["n_triangles"]
+        assert got == oracle_triangle_count(edges, nv)
+        hg.unpersist()
+
+
+def test_triangle_count_random_and_per_vertex(spark):
+    nv = 30
+    edges = _rng_hypergraph(13, nv=nv, ne=40, kmax=4)
+    hg = _freeze(spark, edges, nv)
+    total = triangle_count(hg).collect()[0]["n_triangles"]
+    assert total == oracle_triangle_count(edges, nv)
+    per = per_vertex_triangle_count(hg)
+    rows = {r["vertex_id"]: r["n_triangles"] for r in per.collect()}
+    assert len(rows) == nv
+    assert sum(rows.values()) == 3 * total  # each triangle counted at 3 vertices
+    hg.unpersist()
+
+
+def test_triangle_max_edge_size_cap(spark):
+    # capping excludes the K4 hyperedge entirely
+    edges = [[0, 1, 2, 3], [0, 1], [1, 2], [0, 2]]
+    hg = _freeze(spark, edges, 4)
+    assert triangle_count(hg, max_edge_size=3).collect()[0]["n_triangles"] == 1
+    assert triangle_count(hg).collect()[0]["n_triangles"] == 4
+    hg.unpersist()
