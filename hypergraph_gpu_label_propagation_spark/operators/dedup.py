@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in column expressions (JVM-side); the hash
+primitives (md5, the 60-bit hex->long trick) are chosen so every
+operator has an exact ANSI-SQL twin runnable by the DuckDB oracle.
+
+Operators:
+- exact_dedup_groups / exact_dedup: hash-groupBy exact dedup;
+- shingles: n-token shingling (the base for MinHash / Jaccard);
+- ngram_jaccard_pairs: exact n-gram Jaccard similarity join
+  (shingle-explode + equi-join + count ratio) — quadratic only within
+  shingle buckets, the standard exact near-dup verifier;
+- minhash_signatures / minhash_lsh_candidates: MinHash + banded LSH
+  candidate generation (Broder 1997; Leskovec et al., MMDS ch.3) —
+  the scale path: candidates come from band-bucket equi-joins, never
+  an all-pairs product;
+- simhash64: Charikar 2002 sign-random-projection fingerprint over
+  token hashes, 60 bits (bit b = sign of the +-1 vote sum);
+- embedding_cosine_dup_pairs: exact cosine near-dup pairs over an
+  embedding column (brute force within broadcastable query sets; for
+  the full N^2 case use operators/similarity.py's LSH bucketing).
+
+Hash primitive: ``h60(s) = bigint(first 15 hex chars of md5(s))``
+(60 bits, always positive, identical in Spark via
+``conv(substring(md5(s),1,15),16,10)`` and DuckDB via
+``('0x' || substr(md5(s),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2147483647  # 2^31 - 1, the minhash modulus
+
+
+def h60(col: Column | str) -> Column:
+    """60-bit positive hash of a string (md5-based, cross-engine exact)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_dups): one row per distinct content;
+    keep_id = smallest id in the group (the canonical survivor)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """The deduplicated rows themselves (keep the smallest id per content)."""
+    groups = exact_dedup_groups(df, id_col, content_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(groups, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined).  Empty for docs shorter
+    than n tokens."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct shingles."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold,
+    id_a < id_b, jaccard rounded to 6.
+
+    Exact similarity join: pairs are generated ONLY for docs sharing at
+    least one shingle (equi-join on shingle), so cost is sum of squared
+    bucket sizes, not |docs|^2.  For web scale put minhash_lsh_candidates
+    in front and use this as the verifier on candidates.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the k-th permutation:
+    h_k(x) = (a_k * x + b_k) mod (2^31 - 1).  Fixed formula so the
+    DuckDB oracle can regenerate them."""
+    return [(2 * i + 1, 7919 * i + 1) for i in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, mh0..mh{K-1}): MinHash signature over n-gram shingles.
+    Docs with no shingles are dropped (no signature to compare)."""
+    sh = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), (h60("shingle") % MERSENNE31).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs: docs agreeing on ALL rows
+    of at least one band (rows_per_band = num_hashes // bands).
+    Candidates then go through ngram_jaccard_pairs or exact compare —
+    LSH is the recall stage, never the verdict."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_rows = []
+    for j in range(bands):
+        cols = [F.col(f"mh{j * r + t}").cast("string") for t in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for bdf in band_rows[1:]:
+        banded = banded.unionByName(bdf)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 60-bit sign-random-projection fingerprint.  Token
+    multiplicity counts (standard Charikar weighting with unit weights);
+    bit b of the fingerprint is 1 iff the sum over tokens of
+    (bit b of h60(token) ? +1 : -1) is > 0."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(F.col(id_col), h60("tok").alias("h"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance, via the
+    standard block trick: split the fingerprint into max_hamming+1
+    chunks — any pair within distance must agree exactly on >= 1 chunk,
+    so candidates come from chunk equi-joins (no all-pairs)."""
+    sig = simhash64(df, id_col, text_col).persist()
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    pieces = []
+    for c in range(chunks):
+        mask = (1 << width) - 1
+        pieces.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("piece"),
+            )
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    a = cand.select(F.col(id_col).alias("id_a"), "chunk", "piece")
+    b = cand.select(F.col(id_col).alias("id_b"), "chunk", "piece")
+    pairs = (
+        a.join(b, ["chunk", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed
+    JVM-side with zip_with + aggregate (no Python)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) exact near-dup pairs by cosine >= threshold.
+    Brute-force all-pairs — correct but O(N^2); at scale pre-bucket with
+    operators/similarity.py's sign-LSH and verify only candidates."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

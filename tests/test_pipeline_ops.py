@@ -1,0 +1,167 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing — correctness on synthetic corpora
+with known ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+)
+from hypergraph_gpu_label_propagation_spark.operators.dedup import (
+    embedding_cosine_dup_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+)
+from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+    DecodeBackend,
+    decode_assets,
+    extract_features,
+    frame_sample_plan,
+    synth_assets,
+)
+from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+    cosine_topk,
+    signlsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = "the quick brown fox jumps over the lazy dog near the old river bend"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, near),                      # near dup of 0 (1 token differs)
+        (3, "completely different words about spark shuffles and partitions"),
+        (4, "der hund und die katze ist das haus und der baum"),
+        (5, "el perro es la casa de el gato que es grande"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    dup_group = groups.filter(F.col("n_dups") > 1).collect()
+    assert len(dup_group) == 1
+    assert dup_group[0]["keep_id"] == 0 and dup_group[0]["n_dups"] == 2
+    kept = exact_dedup(docs, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup -> jaccard 1
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_recall(spark, docs):
+    cands = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    assert (0, 1) in cands               # identical docs always collide
+    # signatures of identical docs are identical
+    sig = minhash_signatures(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: tuple(r)[1:] for r in sig}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[3]
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03, "near-dup must be closer in hamming than unrelated doc"
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_dup_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_text_quality_and_fingerprint(spark, docs):
+    q = {r["doc_id"]: r for r in quality_features(docs, "doc_id", "text").collect()}
+    assert q[0]["n_tokens"] == 14
+    assert q[0]["n_distinct"] == 12  # 'the' x3 -> dedup
+    assert 0 < q[0]["stopword_ratio"] < 1
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fps}
+    assert by_id[0] == by_id[1] and by_id[0] != by_id[3]
+
+
+def test_detect_language(spark, docs):
+    langs = {r["doc_id"]: r["lang_guess"]
+             for r in detect_language(docs, "doc_id", "text").collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "es"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype(np.float32)  # near-dup of 0
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] == 1  # the planted near-dup wins
+    assert out[0]["rank"] == 1 and out[0]["cos_sim"] > 0.99
+    # oracle check with numpy
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    v0 = rows[0]
+    sims = {i: float(v0 @ v / (np.linalg.norm(v0) * np.linalg.norm(v)))
+            for i, v in rows.items() if i != 0}
+    want = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+    assert [r["neighbor_id"] for r in out] == want
+
+
+def test_embedding_dup_pairs(spark, vectors):
+    pairs = embedding_cosine_dup_pairs(vectors, "vec_id", "embedding", threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_signlsh_finds_planted_neighbor(spark, vectors):
+    out = signlsh_topk(vectors, vectors.filter("vec_id = 0"), k=3, num_planes=6).collect()
+    assert out and out[0]["neighbor_id"] == 1  # near-identical vector shares every bucket
+
+
+def test_multimodal_plumbing(spark):
+    assets = synth_assets(spark, n=30)
+    dec = decode_assets(assets).persist()
+    assert dec.count() == 30
+    vids = dec.filter("kind = 'video'")
+    assert vids.filter("n_frames <= 0").count() == 0
+    imgs = dec.filter("kind = 'image'")
+    assert imgs.filter("n_frames != 1").count() == 0
+    # deterministic across runs
+    a = sorted(map(tuple, dec.collect()))
+    b = sorted(map(tuple, decode_assets(synth_assets(spark, n=30)).collect()))
+    assert a == b
+    feats = extract_features(assets).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    plan = frame_sample_plan(dec, every_n=30)
+    joined = plan.join(dec, "asset_id").filter(F.col("frame_idx") >= F.col("n_frames"))
+    assert joined.count() == 0
+
+
+def test_multimodal_real_backend_is_explicit_stub(spark):
+    assets = synth_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_assets(assets, backend=DecodeBackend.REAL).collect()
