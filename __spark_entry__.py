@@ -1,38 +1,554 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (full hypergraph label
+propagation to convergence on the sf0.001 lineitem-derived hypergraph).
+``queries()`` exposes every implemented operator from SURVEY.md section 2
+plus the training-data pipeline operators; ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL twin for each SQL-expressible one.
+
+Hypergraph for the relational test tables: hyperedges = orders,
+vertices = parts, membership = lineitem (edge_id = l_orderkey,
+vertex_id = l_partkey); initial labels = vertex_id % 10 over the dense
+universe [0, max(l_partkey)].  This exercises the exact reference
+semantics (majority vote, smallest-label tie-break, degree-0 -> 0) on
+driver-provided data so DuckDB can cross-check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.functions.text import (
+    STOPWORDS,
+    detect_language,
+    fingerprint,
+    lang_markers_rows,
+    quality_features,
+)
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.components import connected_components
+from hypergraph_gpu_label_propagation_spark.operators.dedup import (
+    MERSENNE31,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    minhash_coeffs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+    edge_majority_step,
+    label_propagation,
+    vertex_majority_step,
+)
+from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+    hypergraph_pagerank,
+    pagerank_iteration,
+)
+from hypergraph_gpu_label_propagation_spark.operators.similarity import cosine_topk
+from hypergraph_gpu_label_propagation_spark.operators.triangles import triangle_count
+
+MAX_LABELS = 10
+DAMPING = 0.85
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite incidence: hyperedge = order, vertex = part."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("long").alias("edge_id"),
+            F.col("l_partkey").cast("long").alias("vertex_id"),
+        )
+        .distinct()
+    )
+
+
+def _nv(spark: SparkSession, sf_dir: str) -> int:
+    return int(
+        _t(spark, sf_dir, "lineitem").agg(F.max("l_partkey")).collect()[0][0]
+    ) + 1
+
+
+def _universe(spark: SparkSession, nv: int) -> DataFrame:
+    return spark.range(nv).select(F.col("id").alias("vertex_id"))
+
+
+def _labels0(spark: SparkSession, nv: int) -> DataFrame:
+    """Deterministic initial labels: vertex_id % 10 over the universe."""
+    return spark.range(nv).select(
+        F.col("id").alias("vertex_id"), (F.col("id") % MAX_LABELS).cast("int").alias("label")
+    )
+
+
+def _freeze(spark: SparkSession, sf_dir: str) -> Hypergraph:
+    return Hypergraph.freeze(spark, _incidence(spark, sf_dir))
+
+
+# SQL CTE fragments shared by the oracle strings
+_SQL_INC = (
+    "inc AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS edge_id, "
+    "CAST(l_partkey AS BIGINT) AS vertex_id FROM lineitem)"
+)
+_SQL_UNI = (
+    "uni AS (SELECT CAST(UNNEST(generate_series(0, "
+    "(SELECT MAX(l_partkey) FROM lineitem))) AS BIGINT) AS vertex_id)"
+)
+_SQL_LAB0 = "lab0 AS (SELECT vertex_id, CAST(vertex_id % 10 AS INT) AS label FROM uni)"
+
+# one LP phase as SQL: majority with (count desc, label asc) tie-break
+def _sql_majority(src: str, key: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT {key}, CAST(label AS INT) AS label FROM ("
+        f"  SELECT {key}, label, ROW_NUMBER() OVER (PARTITION BY {key} "
+        f"  ORDER BY c DESC, label ASC) AS rn FROM ("
+        f"    SELECT {key}, label, COUNT(*) AS c FROM {src} "
+        f"    WHERE label >= 0 AND label < {MAX_LABELS} GROUP BY {key}, label)"
+        f") WHERE rn = 1)"
+    )
+
+
+_SQL_EDGE_MAJ = (
+    "ej AS (SELECT i.edge_id, l.label FROM inc i JOIN lab0 l USING (vertex_id)), "
+    + _sql_majority("ej", "edge_id", "emaj")
+)
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full LP to convergence on the sf0.001 hypergraph."""
+    sf_dir = "/root/testdata/sf0.001"
+    hg = Hypergraph.freeze(spark, _incidence(spark, sf_dir))
+    res = label_propagation(hg, _labels0(spark, hg.num_vertices), max_labels=MAX_LABELS)
+    hg.unpersist()
+    return res.labels
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_incidence(spark, sf_dir):
+    return _incidence(spark, sf_dir)
+
+
+def q_vertex_degrees(spark, sf_dir):
+    inc = _incidence(spark, sf_dir)
+    uni = _universe(spark, _nv(spark, sf_dir))
+    deg = inc.groupBy("vertex_id").agg(F.count("*").alias("degree"))
+    return uni.join(deg, "vertex_id", "left").select(
+        "vertex_id", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+    )
+
+
+def q_edge_sizes(spark, sf_dir):
+    return (
+        _incidence(spark, sf_dir)
+        .groupBy("edge_id")
+        .agg(F.count("*").cast("long").alias("edge_size"))
+    )
+
+
+def q_lp_edge_majority(spark, sf_dir):
+    inc = _incidence(spark, sf_dir)
+    labels = _labels0(spark, _nv(spark, sf_dir))
+    return edge_majority_step(inc, labels, MAX_LABELS)
+
+
+def q_lp_superstep(spark, sf_dir):
+    inc = _incidence(spark, sf_dir)
+    nv = _nv(spark, sf_dir)
+    labels = _labels0(spark, nv)
+    edge_labels = edge_majority_step(inc, labels, MAX_LABELS)
+    old = labels.select("vertex_id", F.col("label").alias("_old"))
+    new = vertex_majority_step(inc, edge_labels, _universe(spark, nv), MAX_LABELS)
+    return new.join(old, "vertex_id").select(
+        "vertex_id", "label", (F.col("label") != F.col("_old")).cast("int").alias("changed")
+    )
+
+
+def q_lp_converged(spark, sf_dir):
+    hg = _freeze(spark, sf_dir)
+    res = label_propagation(hg, _labels0(spark, hg.num_vertices), max_labels=MAX_LABELS)
+    hg.unpersist()
+    return res.labels
+
+
+def q_connected_components(spark, sf_dir):
+    hg = _freeze(spark, sf_dir)
+    res = connected_components(hg)
+    hg.unpersist()
+    return res.components
+
+
+def q_pagerank_2iter(spark, sf_dir):
+    hg = _freeze(spark, sf_dir)
+    inv_degree = hg.incidence_by_vertex.groupBy("vertex_id").agg(
+        (F.lit(1.0) / F.count("*")).alias("inv_degree")
+    )
+    ranks = hg.vertices().select(
+        "vertex_id", F.lit(1.0 / hg.num_vertices).alias("rank")
+    )
+    for _ in range(2):
+        ranks = pagerank_iteration(hg, ranks, inv_degree, DAMPING)
+    out = ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
+    return out
+
+
+def q_pagerank_converged(spark, sf_dir):
+    hg = _freeze(spark, sf_dir)
+    res = hypergraph_pagerank(hg, damping=DAMPING, tol=1e-12)
+    hg.unpersist()
+    return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
+
+
+def q_triangle_count(spark, sf_dir):
+    hg = _freeze(spark, sf_dir)
+    return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "content_hash", F.col("keep_id").cast("long"), F.col("n_dups").cast("long")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("doc_id").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "distinct_ratio",
+        "stopword_ratio",
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return detect_language(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("doc_id").cast("long"), "lang_guess"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"), fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return sig.select(F.col("doc_id").cast("long"), *[F.col(f"mh{i}").cast("long") for i in range(8)])
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos_sim",
+        F.col("rank").cast("long"),
+    )
+
+
+def q_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            "sum_value",
+        )
+    )
+
+
+def q_agg_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-03")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "incidence_build": q_incidence,
+        "vertex_degrees": q_vertex_degrees,
+        "edge_sizes": q_edge_sizes,
+        "lp_edge_majority": q_lp_edge_majority,
+        "lp_superstep": q_lp_superstep,
+        "lp_converged": q_lp_converged,
+        "connected_components": q_connected_components,
+        "pagerank_2iter": q_pagerank_2iter,
+        "pagerank_converged": q_pagerank_converged,
+        "triangle_count": q_triangle_count,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "events_window": q_events_window,
+        "agg_pushdown": q_agg_pushdown,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+
+def _sql_lp_superstep_body() -> str:
+    vj = "vj AS (SELECT i.vertex_id, e.label FROM inc i JOIN emaj e USING (edge_id))"
+    vmaj = _sql_majority("vj", "vertex_id", "vmaj")
+    return (
+        f"WITH {_SQL_INC}, {_SQL_UNI}, {_SQL_LAB0}, {_SQL_EDGE_MAJ}, {vj}, {vmaj} "
+        "SELECT u.vertex_id, CAST(COALESCE(v.label, 0) AS INT) AS label, "
+        "CAST(COALESCE(v.label, 0) != l.label AS INT) AS changed "
+        "FROM uni u LEFT JOIN vmaj v USING (vertex_id) JOIN lab0 l USING (vertex_id)"
+    )
+
+
+def _sql_pagerank_2iter() -> str:
+    d = DAMPING
+    def one_iter(rin: str, rout: str) -> str:
+        return (
+            f"c_{rout} AS (SELECT r.vertex_id, r.rank * g.inv_degree AS contrib "
+            f"  FROM {rin} r JOIN invdeg g USING (vertex_id)), "
+            f"em_{rout} AS (SELECT i.edge_id, SUM(c.contrib) / COUNT(*) AS mass "
+            f"  FROM inc i JOIN c_{rout} c USING (vertex_id) GROUP BY i.edge_id), "
+            f"gath_{rout} AS (SELECT i.vertex_id, SUM(e.mass) AS g "
+            f"  FROM inc i JOIN em_{rout} e USING (edge_id) GROUP BY i.vertex_id), "
+            f"dang_{rout} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm FROM {rin} r "
+            f"  LEFT JOIN invdeg g USING (vertex_id) WHERE g.inv_degree IS NULL), "
+            f"{rout} AS (SELECT u.vertex_id, "
+            f"  (1 - {d}) / n.n + {d} * ((SELECT dm FROM dang_{rout}) / n.n) "
+            f"  + {d} * COALESCE(g.g, 0) AS rank "
+            f"  FROM uni u CROSS JOIN nn n LEFT JOIN gath_{rout} g USING (vertex_id))"
+        )
+    return (
+        f"WITH {_SQL_INC}, {_SQL_UNI}, "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni), "
+        "invdeg AS (SELECT vertex_id, 1.0 / COUNT(*) AS inv_degree FROM inc GROUP BY vertex_id), "
+        "r0 AS (SELECT u.vertex_id, 1.0 / n.n AS rank FROM uni u CROSS JOIN nn n), "
+        + one_iter("r0", "r1") + ", "
+        + one_iter("r1", "r2") + " "
+        "SELECT vertex_id, ROUND(rank, 6) AS rank FROM r2"
+    )
+
+
+def _sql_minhash_sig_cte() -> str:
+    """doc -> (doc_id, mh0..mh7) as CTEs: toks/shingles/hash/sig."""
+    coeffs = minhash_coeffs(8)
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    return (
+        "sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+        "  range(1, len(string_split(text, ' ')) - 1), "
+        "  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+        "       || ' ' || string_split(text, ' ')[i+2]))) AS shingle FROM documents), "
+        "hsh AS (SELECT doc_id, "
+        f"  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hsh GROUP BY doc_id)"
+    )
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), "
+        "hsh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok), "
+        f"bits AS (SELECT doc_id, {sums} FROM hsh GROUP BY doc_id) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({acc} AS BIGINT) AS simhash FROM bits"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    markers_values = ", ".join(f"('{l}', '{w}')" for l, w in lang_markers_rows())
+    return {
+        "incidence_build": f"WITH {_SQL_INC} SELECT * FROM inc",
+        "vertex_degrees": (
+            f"WITH {_SQL_INC}, {_SQL_UNI}, "
+            "deg AS (SELECT vertex_id, COUNT(*) AS d FROM inc GROUP BY vertex_id) "
+            "SELECT u.vertex_id, CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree "
+            "FROM uni u LEFT JOIN deg USING (vertex_id)"
+        ),
+        "edge_sizes": (
+            f"WITH {_SQL_INC} SELECT edge_id, CAST(COUNT(*) AS BIGINT) AS edge_size "
+            "FROM inc GROUP BY edge_id"
+        ),
+        "lp_edge_majority": (
+            f"WITH {_SQL_INC}, {_SQL_UNI}, {_SQL_LAB0}, {_SQL_EDGE_MAJ} "
+            "SELECT edge_id, label FROM emaj"
+        ),
+        "lp_superstep": _sql_lp_superstep_body(),
+        "connected_components": (
+            f"WITH RECURSIVE {_SQL_INC}, {_SQL_UNI}, "
+            "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "
+            "  FROM inc a JOIN inc b USING (edge_id)), "
+            "reach(u, v) AS (SELECT u, v FROM adj "
+            "  UNION SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u), "
+            "comp AS (SELECT u AS vertex_id, MIN(v) AS c FROM reach GROUP BY u) "
+            "SELECT x.vertex_id, CAST(COALESCE(comp.c, x.vertex_id) AS BIGINT) AS component "
+            "FROM uni x LEFT JOIN comp USING (vertex_id)"
+        ),
+        "pagerank_2iter": _sql_pagerank_2iter(),
+        "triangle_count": (
+            f"WITH {_SQL_INC}, "
+            "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "
+            "  FROM inc a JOIN inc b USING (edge_id) WHERE a.vertex_id < b.vertex_id) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM adj e1 JOIN adj e2 ON e1.v = e2.u "
+            "JOIN adj e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "text_quality": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
+            "ROUND(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio, "
+            f"ROUND(len(list_filter(toks, x -> x IN ({sw}))) / len(toks), 6) AS stopword_ratio "
+            "FROM t"
+        ),
+        "text_langid": (
+            f"WITH markers(lang_cand, word) AS (VALUES {markers_values}), "
+            "tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents), "
+            "hits AS (SELECT t.doc_id, m.lang_cand, COUNT(*) AS h FROM tok t "
+            "  JOIN markers m USING (word) GROUP BY 1, 2), "
+            "mx AS (SELECT doc_id, MAX(h) AS h FROM hits GROUP BY doc_id), "
+            "win AS (SELECT hits.doc_id, MIN(hits.lang_cand) AS lang_guess "
+            "  FROM hits JOIN mx ON hits.doc_id = mx.doc_id AND hits.h = mx.h "
+            "  GROUP BY hits.doc_id) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(w.lang_guess, 'und') AS lang_guess "
+            "FROM documents d LEFT JOIN win w USING (doc_id)"
+        ),
+        "text_fingerprint": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp "
+            "FROM documents"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+            "  range(1, len(string_split(text, ' ')) - 1), "
+            "  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+            "       || ' ' || string_split(text, ' ')[i+2]))) AS shingle FROM documents), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+            "com AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c "
+            "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+            "ROUND(c / (sa.n + sb.n - c), 6) AS jaccard "
+            "FROM com JOIN sz sa ON com.id_a = sa.doc_id JOIN sz sb ON com.id_b = sb.doc_id "
+            "WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.1"
+        ),
+        "minhash_signatures": (
+            f"WITH {_sql_minhash_sig_cte()} "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            + ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(8))
+            + " FROM sig"
+        ),
+        "minhash_lsh": (
+            f"WITH {_sql_minhash_sig_cte()}, "
+            "bands AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {j} AS band, md5(CAST(mh{2*j} AS VARCHAR) || ',' || "
+                f"CAST(mh{2*j+1} AS VARCHAR)) AS bucket FROM sig"
+                for j in range(4)
+            )
+            + ") "
+            "SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, "
+            "CAST(b.doc_id AS BIGINT) AS id_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+            "WHERE a.doc_id < b.doc_id"
+        ),
+        "simhash": _sql_simhash(),
+        "cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "  FROM embeddings WHERE vec_id < 8), "
+            "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim "
+            "  FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM pairs) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
+            "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+        ),
+        "events_window": (
+            "SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start, "
+            "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "agg_pushdown": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1998-09-03' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        # lp_converged / pagerank_converged: iterative-to-convergence —
+        # not single-statement SQL; driver records rows-only checks.
+    }

@@ -1,0 +1,168 @@
+"""spark-submit entry point mirroring the reference CLI
+(src/common/argparse.cpp:122-359).
+
+Same flag names where sensible: problem size (-v/--vertices,
+-e/--edges), generator shortcuts (--uniform/--fixed/--planted/--hsbm,
+mutually exclusive, argparse.cpp:193-211), --iterations/--tolerance,
+--label-classes/--label-seed, --load/--save, --seed.  The device knobs
+(--threads/--workgroup-size) map to Spark parallelism
+(--cores/--shuffle-partitions).
+
+Usage:
+    spark-submit --py-files hypergraph_gpu_label_propagation_spark.zip \
+        -m hypergraph_gpu_label_propagation_spark.cli --hsbm -v 4000 -e 16000 \
+        --label-classes 6 --label-seed 42 --save /tmp/out
+or locally: python -m hypergraph_gpu_label_propagation_spark.cli ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hypergraph-lp-spark",
+        description="PySpark-native hypergraph label propagation "
+        "(reference-parity semantics)",
+    )
+    p.add_argument("-v", "--vertices", type=int, default=1000)
+    p.add_argument("-e", "--edges", type=int, default=4000)
+    gen = p.add_mutually_exclusive_group()
+    gen.add_argument("--uniform", action="store_true")
+    gen.add_argument("--fixed", action="store_true")
+    gen.add_argument("--planted", action="store_true")
+    gen.add_argument("--hsbm", action="store_true")
+    p.add_argument("--min-edge-size", type=int, default=2)
+    p.add_argument("--max-edge-size", type=int, default=5)
+    p.add_argument("--edge-size", type=int, default=4, help="fixed generator")
+    p.add_argument("--communities", type=int, default=8)
+    p.add_argument("--p-intra", type=float, default=0.85)
+    p.add_argument("--p-inter", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--label-classes", type=int, default=0,
+                   help="0 -> default bound of 10 (argparse.cpp:277)")
+    p.add_argument("--label-seed", type=int, default=42)
+    p.add_argument("-i", "--iterations", type=int, default=100)
+    p.add_argument("-t", "--tolerance", type=float, default=1e-6)
+    p.add_argument("--load", help="load JSON/HGR1 instead of generating")
+    p.add_argument("--save", help="write incidence+labels parquet here")
+    p.add_argument("--checkpoint-dir", help="durable per-superstep snapshots")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--source-files", help="derive hypergraph from a "
+                   "source_files parquet (repo/commit hyperedges)")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--metrics-json", help="write run metrics JSON here")
+    return p
+
+
+def make_hypergraph(spark, args):
+    """Load-or-generate (the reference's make_hypergraph,
+    argparse.cpp:289-318), then optional random relabel."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.sources import generators as G
+
+    labels = None
+    if args.load:
+        from hypergraph_gpu_label_propagation_spark.sources.hgr import load_any
+
+        frames = load_any(spark, args.load)
+        incidence, labels = frames.incidence, frames.vertex_labels
+        nv, ne = frames.num_vertices, frames.num_edges
+    elif args.source_files:
+        from hypergraph_gpu_label_propagation_spark.sources.source_files import (
+            derive_hypergraph_frames,
+        )
+
+        sf = spark.read.parquet(args.source_files)
+        incidence, _, _ = derive_hypergraph_frames(sf)
+        nv = ne = None
+    else:
+        nv, ne = args.vertices, args.edges
+        if args.fixed:
+            incidence = G.fixed_hypergraph(spark, nv, ne, args.edge_size, args.seed)
+        elif args.planted:
+            incidence = G.planted_partition_hypergraph(
+                spark, nv, ne, args.communities, args.p_intra,
+                args.min_edge_size, args.max_edge_size, args.seed,
+            )
+        elif args.hsbm:
+            incidence = G.hsbm_hypergraph(
+                spark, nv, ne, args.communities, args.p_intra, args.p_inter,
+                max(args.min_edge_size, 3), args.max_edge_size, args.seed,
+            )
+        else:  # uniform is the default generator
+            incidence = G.uniform_hypergraph(
+                spark, nv, ne, args.min_edge_size, args.max_edge_size, args.seed
+            )
+
+    hg = Hypergraph.freeze(spark, incidence, vertex_labels=labels,
+                           num_vertices=nv, num_edges=ne)
+    if args.label_classes > 0:
+        hg.vertex_labels = G.random_labels(
+            spark, hg.num_vertices, args.label_classes, args.label_seed
+        )
+    return hg
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        label_propagation,
+    )
+    from hypergraph_gpu_label_propagation_spark.session import get_spark
+
+    spark = get_spark("hypergraph_lp_cli", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t_setup0 = time.monotonic()
+    hg = make_hypergraph(spark, args)
+    max_labels = args.label_classes if args.label_classes > 0 else 10
+    setup_ms = (time.monotonic() - t_setup0) * 1000
+
+    # run-config echo (the reference's print_cli_summary, argparse.cpp:320-359)
+    print(f"# hypergraph: nv={hg.num_vertices} ne={hg.num_edges} "
+          f"max_labels={max_labels} iterations={args.iterations} "
+          f"tolerance={args.tolerance}", file=sys.stderr)
+
+    t0 = time.monotonic()
+    res = label_propagation(
+        hg, max_labels=max_labels, max_iterations=args.iterations,
+        tolerance=args.tolerance, checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume, verbose=True,
+    )
+    iter_ms = (time.monotonic() - t0) * 1000
+
+    t_fin0 = time.monotonic()
+    if args.save:
+        hg.incidence_by_edge.write.mode("overwrite").parquet(f"{args.save}/incidence")
+        res.labels.write.mode("overwrite").parquet(f"{args.save}/labels")
+    finalize_ms = (time.monotonic() - t_fin0) * 1000
+
+    summary = {
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "setup_ms": round(setup_ms, 1),
+        "iterations_ms": round(iter_ms, 1),
+        "finalize_ms": round(finalize_ms, 1),
+        "total_ms": round(setup_ms + iter_ms + finalize_ms, 1),
+        "changes_per_iter": [m.changes for m in res.metrics],
+        "label_histogram": {
+            str(r["label"]): r["n"]
+            for r in res.labels.groupBy("label").agg(F.count("*").alias("n")).collect()
+        },
+    }
+    print(json.dumps(summary))
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as f:
+            json.dump(summary, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
