@@ -47,7 +47,8 @@ from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
 )
 from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
     hypergraph_pagerank,
-    pagerank_iteration,
+    pagerank_state_init,
+    pagerank_step,
 )
 from hypergraph_gpu_label_propagation_spark.operators.similarity import cosine_topk
 from hypergraph_gpu_label_propagation_spark.operators.triangles import triangle_count
@@ -199,21 +200,21 @@ def q_connected_components(spark, sf_dir):
 
 def q_pagerank_2iter(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
-    inv_degree = hg.incidence_by_vertex.groupBy("vertex_id").agg(
-        (F.lit(1.0) / F.count("*")).alias("inv_degree")
-    )
-    ranks = hg.vertices().select(
-        "vertex_id", F.lit(1.0 / hg.num_vertices).alias("rank")
-    )
+    state = pagerank_state_init(hg).localCheckpoint(eager=True)
+    dangling = state.filter(F.col("inv_degree").isNull()).count() / float(hg.num_vertices)
     for _ in range(2):
-        ranks = pagerank_iteration(hg, ranks, inv_degree, DAMPING)
-    out = ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
-    return out
+        new = pagerank_step(hg, state, dangling, DAMPING).localCheckpoint(eager=True)
+        dangling = float(
+            new.agg(F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank")))).collect()[0][0]
+            or 0.0
+        )
+        state = new.drop("_old")
+    return state.select("vertex_id", F.round("rank", 6).alias("rank"))
 
 
 def q_pagerank_converged(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
-    res = hypergraph_pagerank(hg, damping=DAMPING, tol=1e-12)
+    res = hypergraph_pagerank(hg, damping=DAMPING, tol=1e-9)
     hg.unpersist()
     return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 

@@ -74,14 +74,21 @@ def vertex_majority_step(
 
 
 def lp_superstep(hg: Hypergraph, vertex_labels: DataFrame, max_labels: int = DEFAULT_MAX_LABELS) -> DataFrame:
-    """One full superstep; returns (vertex_id, label, changed)."""
+    """One full superstep; returns (vertex_id, label, changed).
+
+    The labels frame always carries every vertex (one row per vertex),
+    so a single left join against the phase-2 majority covers both the
+    degree-0 -> label 0 rule (coalesce) and the change flag — one
+    shuffle fewer than joining a separate vertex universe.
+    """
     edge_labels = edge_majority_step(hg.incidence_by_vertex, vertex_labels, max_labels)
-    old = vertex_labels.select("vertex_id", F.col("label").alias("_old"))
-    new = vertex_majority_step(hg.incidence_by_edge, edge_labels, old.select("vertex_id"), max_labels)
-    return new.join(old, "vertex_id").select(
+    gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select("vertex_id", "label")
+    maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
+    new_label = F.coalesce("_maj", F.lit(0)).cast("int")
+    return vertex_labels.join(maj, "vertex_id", "left").select(
         "vertex_id",
-        "label",
-        (F.col("label") != F.col("_old")).cast("int").alias("changed"),
+        new_label.alias("label"),
+        (new_label != F.col("label")).cast("int").alias("changed"),
     )
 
 

@@ -7,11 +7,16 @@ an incident hyperedge uniformly (1/degree), then a member uniformly
 (1/edge_size).  Dangling (degree-0) vertices redistribute their mass
 uniformly.  Scores sum to 1; convergence on L1 delta.
 
-Scale shape per iteration: two joins against the frozen incidence
-layouts + two sum-aggregations — identical shuffle structure to one LP
-superstep, with float mass instead of label counts.  Sum is algebraic,
-so map-side partial aggregation absorbs hyperedge skew exactly as in
-the majority kernel.
+Scale/iteration design (mirrors the LP driver loop):
+- the state frame carries (vertex_id, rank, inv_degree) — inv_degree
+  is joined ONCE at init and rides along, null marking dangling
+  vertices, so no per-iteration degree join or anti-join;
+- exactly two Spark actions per iteration: the eager localCheckpoint
+  (which also truncates lineage — without it plan depth grows per
+  iteration and driver time explodes) and one combined aggregate that
+  returns BOTH the L1 delta and the next iteration's dangling mass;
+- the two gathers hit the frozen incidence layouts; sum is algebraic so
+  map-side partial aggregation absorbs hyperedge skew.
 """
 
 from __future__ import annotations
@@ -32,25 +37,36 @@ class PageRankResult:
     deltas: list[float] = field(default_factory=list)
 
 
-def pagerank_iteration(
+def pagerank_state_init(hg: Hypergraph) -> DataFrame:
+    """(vertex_id, rank=1/n, inv_degree|null) for every vertex."""
+    inv_degree = hg.incidence_by_vertex.groupBy("vertex_id").agg(
+        (F.lit(1.0) / F.count("*")).alias("inv_degree")
+    )
+    return hg.vertices().join(inv_degree, "vertex_id", "left").select(
+        "vertex_id",
+        F.lit(1.0 / hg.num_vertices).cast("double").alias("rank"),
+        "inv_degree",
+    )
+
+
+def pagerank_step(
     hg: Hypergraph,
-    ranks: DataFrame,
-    inv_degree: DataFrame,
+    state: DataFrame,
+    dangling_mass: float,
     damping: float,
 ) -> DataFrame:
-    """One power iteration; returns (vertex_id, rank) for every vertex."""
+    """One power iteration.  Returns (vertex_id, rank, inv_degree, _old)
+    for every vertex; caller supplies the current dangling mass (sum of
+    rank over degree-0 vertices) as a scalar."""
     n = hg.num_vertices
-    # contribution r_v / deg_v; dangling vertices contribute via the
-    # dangling-mass term instead (inv_degree has no row for them)
-    contrib = ranks.join(inv_degree, "vertex_id").select(
+    contrib = state.filter(F.col("inv_degree").isNotNull()).select(
         "vertex_id", (F.col("rank") * F.col("inv_degree")).alias("contrib")
     )
     # phase 1: edge mass m_e = (sum_{v in e} contrib_v) / |e|
     edge_mass = (
         hg.incidence_by_vertex.join(contrib, "vertex_id")
         .groupBy("edge_id")
-        .agg(F.sum("contrib").alias("mass_sum"), F.count("*").alias("sz"))
-        .select("edge_id", (F.col("mass_sum") / F.col("sz")).alias("mass"))
+        .agg((F.sum("contrib") / F.count("*")).alias("mass"))
     )
     # phase 2: gather r'_v = sum_{e incident to v} m_e
     gathered = (
@@ -58,16 +74,12 @@ def pagerank_iteration(
         .groupBy("vertex_id")
         .agg(F.sum("mass").alias("gathered"))
     )
-    dangling = (
-        ranks.join(inv_degree, "vertex_id", "left_anti")
-        .agg(F.sum("rank"))
-        .collect()[0][0]
-        or 0.0
-    )
-    base = (1.0 - damping) / n + damping * dangling / n
-    return ranks.select("vertex_id").join(gathered, "vertex_id", "left").select(
+    base = (1.0 - damping) / n + damping * dangling_mass / n
+    return state.join(gathered, "vertex_id", "left").select(
         "vertex_id",
         (F.lit(base) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias("rank"),
+        "inv_degree",
+        F.col("rank").alias("_old"),
     )
 
 
@@ -75,36 +87,57 @@ def hypergraph_pagerank(
     hg: Hypergraph,
     damping: float = 0.85,
     max_iterations: int = 100,
-    tol: float = 1e-10,
+    tol: float = 1e-9,
 ) -> PageRankResult:
-    """Power-iterate to convergence (L1 delta < tol).  ``tol=1e-10``
-    comfortably clears the north rule's allclose(1e-6) bar."""
-    n = hg.num_vertices
-    inv_degree = (
-        hg.incidence_by_vertex.groupBy("vertex_id")
-        .agg((F.lit(1.0) / F.count("*")).alias("inv_degree"))
-        .persist()
+    """Power-iterate to L1 delta < tol.  The default tol=1e-9 bounds the
+    per-vertex error well under the north rule's allclose(1e-6) bar
+    (per-vertex |err| <= L1 delta / (1 - damping) at convergence)."""
+    state = pagerank_state_init(hg).localCheckpoint(eager=True)
+    dangling = (
+        state.filter(F.col("inv_degree").isNull()).count() / float(hg.num_vertices)
     )
-    ranks = hg.vertices().select(
-        "vertex_id", F.lit(1.0 / n).cast("double").alias("rank")
-    ).localCheckpoint(eager=True)
-
     deltas: list[float] = []
     converged = False
     iterations = 0
     for it in range(max_iterations):
-        new = pagerank_iteration(hg, ranks, inv_degree, damping).localCheckpoint(eager=True)
-        delta = (
-            new.join(ranks.select("vertex_id", F.col("rank").alias("_old")), "vertex_id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-            .collect()[0][0]
-        )
-        ranks.unpersist()
-        ranks = new
+        new = pagerank_step(hg, state, dangling, damping).localCheckpoint(eager=True)
+        row = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+        ).collect()[0]
+        delta = float(row["delta"] or 0.0)
+        dangling = float(row["dang"] or 0.0)
+        state.unpersist()
+        state = new.drop("_old")
         iterations = it + 1
-        deltas.append(float(delta))
+        deltas.append(delta)
         if delta < tol:
             converged = True
             break
-    inv_degree.unpersist()
-    return PageRankResult(ranks=ranks, iterations=iterations, converged=converged, deltas=deltas)
+    return PageRankResult(
+        ranks=state.select("vertex_id", "rank"),
+        iterations=iterations,
+        converged=converged,
+        deltas=deltas,
+    )
+
+
+# backwards-compatible single-step API used by __spark_entry__'s
+# fixed-iteration oracle query
+def pagerank_iteration(
+    hg: Hypergraph,
+    ranks: DataFrame,
+    inv_degree: DataFrame,
+    damping: float,
+) -> DataFrame:
+    """One iteration from a bare (vertex_id, rank) frame; computes the
+    dangling mass with an extra aggregate (use hypergraph_pagerank for
+    iterating — this exists for the SQL-oracle fixed-step query)."""
+    state = ranks.join(inv_degree, "vertex_id", "left").select(
+        "vertex_id", "rank", "inv_degree"
+    )
+    dangling = (
+        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0]
+        or 0.0
+    )
+    return pagerank_step(hg, state, float(dangling), damping).select("vertex_id", "rank")

@@ -1,0 +1,86 @@
+"""Physical-plan shape tests: pushdown, pruning, broadcast, salted join
+exactness — the scale properties the engine is designed around."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from hypergraph_gpu_label_propagation_spark.plans.skew import salted_join, top_hot_keys
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_extendedprice")
+    plan = explain_str(q, "formatted")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    schemas = scan_read_schema(q)
+    assert schemas and all(len(s) <= 3 for s in schemas), (
+        f"scan must read only the projected+filter columns, got {schemas}"
+    )
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    q = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_orderkey", "o_orderstatus")
+    assert uses_broadcast_join(q)
+
+
+def test_majority_is_single_exchange_per_phase(spark):
+    """The bounded count-vector majority must aggregate in ONE shuffle
+    (partial agg map-side), not two."""
+    from hypergraph_gpu_label_propagation_spark.operators.majority import majority_label
+
+    inc = spark.createDataFrame(
+        [(e, v) for e in range(10) for v in range(5)], "edge_id long, vertex_id long"
+    )
+    labels = spark.createDataFrame(
+        [(v, v % 3) for v in range(5)], "vertex_id long, label int"
+    )
+    out = majority_label(inc.join(labels, "vertex_id"), "edge_id", "label", 10)
+    # one exchange for the join's labels side + one for the groupBy
+    assert count_exchanges(out) <= 3
+    plan = explain_str(out, "simple")
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_salted_join_exact(spark):
+    big = spark.createDataFrame(
+        [(k, i) for k in ["hot", "cold"] for i in range({"hot": 500, "cold": 5}[k])],
+        "key string, payload long",
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "key string, val int")
+    got = salted_join(big, small, "key", salt=8)
+    want = big.join(small, "key")
+    assert got.count() == want.count() == 505
+    assert got.agg(F.sum("val")).collect()[0][0] == want.agg(F.sum("val")).collect()[0][0]
+    hot = top_hot_keys(big, "key", 1).collect()[0]
+    assert hot["key"] == "hot" and hot["rows"] == 500
+
+
+def test_lp_superstep_plan_stays_jvm_side(spark):
+    """No Python UDFs (BatchEvalPython / ArrowEvalPython) anywhere in
+    the LP superstep plan — the hot path is whole-stage codegen."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import lp_superstep
+
+    inc = spark.createDataFrame(
+        [(e, (e + d) % 20) for e in range(30) for d in range(3)],
+        "edge_id long, vertex_id long",
+    )
+    hg = Hypergraph.freeze(spark, inc, num_vertices=20, num_edges=30, num_partitions=4)
+    labels = spark.createDataFrame([(v, v % 5) for v in range(20)], "vertex_id long, label int")
+    stepped = lp_superstep(hg, labels)
+    stepped.collect()  # let AQE finalize, then inspect the executed plan
+    plan = explain_str(stepped, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan
+    hg.unpersist()
