@@ -214,7 +214,9 @@ def q_pagerank_2iter(spark, sf_dir):
 
 def q_pagerank_converged(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
-    res = hypergraph_pagerank(hg, damping=DAMPING, tol=1e-9)
+    # tol=1e-7 on the L1 delta bounds per-vertex error by
+    # delta * d/(1-d) ~ 5.7e-7 < the north rule's allclose(1e-6)
+    res = hypergraph_pagerank(hg, damping=DAMPING, tol=1e-7)
     hg.unpersist()
     return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 
@@ -317,6 +319,37 @@ def q_agg_pushdown(spark, sf_dir):
     )
 
 
+def q_set_ops_nations(spark, sf_dir):
+    """Set-op coverage (SURVEY section 2.5): distinct union of customer
+    and supplier nation keys."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct().select(F.col("nationkey").cast("int"))
+
+
+def q_gen_uniform(spark, sf_dir):
+    """Generator surface (G1): seeded uniform hypergraph, returned as
+    incidence rows (rows-only check — mt19937-free Spark-native
+    generation has no SQL twin; parity is pytest-tested)."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import uniform_hypergraph
+
+    return uniform_hypergraph(spark, num_vertices=500, num_edges=1000, seed=42)
+
+
+def q_source_files_hypergraph(spark, sf_dir):
+    """Flagship derivation (input_hint): synthetic source_files table ->
+    repo/commit hyperedges with the sha256 provenance invariant enforced
+    during construction (rows-only check)."""
+    from hypergraph_gpu_label_propagation_spark.sources.source_files import (
+        derive_hypergraph_frames,
+        synth_source_files,
+    )
+
+    sf = synth_source_files(spark, n_repos=10, files_per_repo=12, commits_per_repo=3)
+    incidence, _, _ = derive_hypergraph_frames(sf, verify_sha256=True)
+    return incidence
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incidence_build": q_incidence,
@@ -340,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "events_window": q_events_window,
         "agg_pushdown": q_agg_pushdown,
+        "set_ops_nations": q_set_ops_nations,
+        "gen_uniform": q_gen_uniform,
+        "source_files_hypergraph": q_source_files_hypergraph,
     }
 
 
@@ -550,6 +586,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate < TIMESTAMP '1998-09-03' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        # lp_converged / pagerank_converged: iterative-to-convergence —
-        # not single-statement SQL; driver records rows-only checks.
+        "set_ops_nations": (
+            "SELECT CAST(nationkey AS INT) AS nationkey FROM ("
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION SELECT s_nationkey FROM supplier)"
+        ),
+        # lp_converged / pagerank_converged: iterative-to-convergence;
+        # gen_uniform / source_files_hypergraph: seeded Spark-native
+        # generation — no SQL twins; driver records rows-only checks.
     }

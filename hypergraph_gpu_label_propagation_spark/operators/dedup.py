@@ -80,9 +80,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingles."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) exploded distinct shingles.
+
+    Tokenizes into a materialized column first so ``split`` runs once
+    per row — inlining it into the transform lambda re-evaluates the
+    split per shingle element (no common-subexpression elimination
+    inside lambda bodies)."""
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    shingle_arr = F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
     )
 
 

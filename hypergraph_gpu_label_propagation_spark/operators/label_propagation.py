@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
-from hypergraph_gpu_label_propagation_spark.operators.majority import majority_label
+from hypergraph_gpu_label_propagation_spark.operators.majority import (
+    majority_label,
+    majority_label_grouped_sql,
+)
 
 DEFAULT_MAX_LABELS = 10  # argparse.cpp:277 / cuda.cu:13
 
@@ -73,17 +76,54 @@ def vertex_majority_step(
     )
 
 
-def lp_superstep(hg: Hypergraph, vertex_labels: DataFrame, max_labels: int = DEFAULT_MAX_LABELS) -> DataFrame:
+def lp_superstep(
+    hg: Hypergraph,
+    vertex_labels: DataFrame,
+    max_labels: int = DEFAULT_MAX_LABELS,
+    strategy: str = "narrow",
+) -> DataFrame:
     """One full superstep; returns (vertex_id, label, changed).
 
     The labels frame always carries every vertex (one row per vertex),
     so a single left join against the phase-2 majority covers both the
     degree-0 -> label 0 rule (coalesce) and the change flag — one
     shuffle fewer than joining a separate vertex universe.
+
+    ``strategy``: "narrow" (default: (key,label,count) rows, two narrow
+    shuffles per phase — ~3x less shuffle volume on low-degree graphs,
+    measured 2.2-2.3x faster and better-scaling on the 20M-row kernel
+    bench) or "vector" (bounded count-vector, one wide shuffle per
+    phase).  Both exact, incl. skew (partial agg emits <= max_labels
+    rows per hot key per map partition either way).
     """
-    edge_labels = edge_majority_step(hg.incidence_by_vertex, vertex_labels, max_labels)
-    gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select("vertex_id", "label")
-    maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
+    # join strategy note (measured on the 20M-row kernel bench): letting
+    # Catalyst broadcast the one-row-per-id frames beats forcing
+    # shuffle_hash/merge at every parallelism level tested — the
+    # broadcast build cost is lower than the extra exchanges the hints
+    # introduce; revisit on a real cluster where driver egress matters
+    if strategy not in ("vector", "narrow"):
+        raise ValueError(f"unknown majority strategy {strategy!r}; use 'vector' or 'narrow'")
+    labels_h = vertex_labels
+    if strategy == "vector":
+        edge_labels = edge_majority_step(hg.incidence_by_vertex, labels_h, max_labels)
+    else:
+        # narrow shuffles: (key,label,count) rows; edges whose every
+        # member is unlabeled drop out of the argmax and are coalesced
+        # back to label 0 against the (co-partitioned, shuffle-free)
+        # edge universe — reference all-zero-counts rule
+        gathered_e = hg.incidence_by_vertex.join(labels_h, "vertex_id")
+        best_e = majority_label_grouped_sql(gathered_e, "edge_id", "label", max_labels, "_m")
+        edge_universe = hg.incidence_by_edge.select("edge_id").distinct()
+        edge_labels = edge_universe.join(best_e, "edge_id", "left").select(
+            "edge_id", F.coalesce("_m", F.lit(0)).cast("int").alias("label")
+        )
+    gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select(
+        "vertex_id", "label"
+    )
+    if strategy == "vector":
+        maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
+    else:
+        maj = majority_label_grouped_sql(gathered, "vertex_id", "label", max_labels, "_maj")
     new_label = F.coalesce("_maj", F.lit(0)).cast("int")
     return vertex_labels.join(maj, "vertex_id", "left").select(
         "vertex_id",
@@ -139,6 +179,7 @@ def label_propagation(
     checkpoint_every: int = 1,
     resume: bool = False,
     verbose: bool = False,
+    strategy: str = "narrow",
 ) -> LPResult:
     """Run LP to convergence (reference loop openmp:58-158, defaults
     argparse.hpp:26-27: iterations=100, tolerance=1e-6).
@@ -168,7 +209,7 @@ def label_propagation(
 
     for step in range(start_step, max_iterations):
         t0 = time.monotonic()
-        stepped = lp_superstep(hg, labels, max_labels).localCheckpoint(eager=True)
+        stepped = lp_superstep(hg, labels, max_labels, strategy).localCheckpoint(eager=True)
         changes = stepped.agg(F.sum("changed")).collect()[0][0] or 0
         labels.unpersist()
         labels = stepped.select("vertex_id", "label")

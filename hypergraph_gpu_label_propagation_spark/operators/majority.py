@@ -67,6 +67,33 @@ def majority_label(
     return counted.select(key, (-winner["neg_label"]).cast("int").alias(out_col))
 
 
+def majority_label_narrow(
+    df: DataFrame,
+    key: str,
+    key_universe: DataFrame,
+    label_col: str = "label",
+    max_labels: int = 10,
+    out_col: str = "label",
+) -> DataFrame:
+    """Exact majority with NARROW shuffles: groupBy(key, label).count()
+    (rows are (key,label,cnt) — 3 longs — instead of the count-vector
+    form's max_labels-wide rows), then per-key argmax, then coalesce to
+    label 0 against ``key_universe`` for keys whose every row was
+    filtered (all-unlabeled -> all-zero counts -> 0, reference rule).
+
+    Trade-off vs :func:`majority_label`: ~3x less shuffle volume on
+    low-degree graphs (the common case: uniform hyperedges, size 2-8),
+    identical skew behavior (partial agg emits <= max_labels rows per
+    hot key per map partition), at the cost of a second (tiny,
+    one-row-per-key) shuffle and the universe coalesce.  The engine
+    exposes both; bench picks per workload.
+    """
+    best = majority_label_grouped_sql(df, key, label_col, max_labels, out_col="_m")
+    return key_universe.join(best, key, "left").select(
+        key, F.coalesce("_m", F.lit(0)).cast("int").alias(out_col)
+    )
+
+
 def majority_label_grouped_sql(
     df: DataFrame,
     key: str,

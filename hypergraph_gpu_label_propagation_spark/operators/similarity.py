@@ -35,15 +35,32 @@ def cosine_topk(
     """(query_id, neighbor_id, cos_sim, rank) exact top-k neighbors per
     query; deterministic tie-break (cos_sim desc, neighbor_id asc);
     cos_sim rounded to 6 for cross-engine comparability."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        )
+
+    # precompute norms once per vector (not once per pair)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(dot / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

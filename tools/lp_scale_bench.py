@@ -1,0 +1,69 @@
+"""Single-config LP throughput measurement (used by bench_scaling.py).
+
+Reads a pre-generated incidence parquet (SAME input for every
+parallelism level), freezes it, runs a FIXED number of LP supersteps
+(fixed work, no convergence variance), prints one JSON line.
+
+Usage: python tools/lp_scale_bench.py <incidence_parquet> <cores> [supersteps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.label_propagation import lp_superstep
+from hypergraph_gpu_label_propagation_spark.session import get_spark
+
+
+def main() -> None:
+    path = sys.argv[1]
+    cores = int(sys.argv[2])
+    supersteps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    strategy = sys.argv[4] if len(sys.argv) > 4 else "narrow"
+
+    spark = get_spark("lp_scale_bench", cores=cores)
+    inc = spark.read.parquet(path)
+    hg = Hypergraph.freeze(spark, inc)
+    n_inc = hg.incidence_by_vertex.count()
+    _ = hg.incidence_by_edge.count()  # materialize both layouts pre-clock
+    labels = spark.range(hg.num_vertices).select(
+        F.col("id").alias("vertex_id"), (F.col("id") % 10).cast("int").alias("label")
+    ).localCheckpoint(eager=True)
+
+    # one untimed warmup superstep: JIT, codegen compile, page cache
+    warm = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
+    warm.agg(F.sum("changed")).collect()
+    warm.unpersist()
+
+    t0 = time.monotonic()
+    total_changes = 0
+    for _ in range(supersteps):
+        stepped = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
+        total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
+        labels.unpersist()
+        labels = stepped.select("vertex_id", "label")
+    wall = time.monotonic() - t0
+
+    print(json.dumps({
+        "strategy": strategy,
+        "cores": cores,
+        "supersteps": supersteps,
+        "wall_sec": round(wall, 3),
+        "incidence_rows": n_inc,
+        "num_vertices": hg.num_vertices,
+        "num_edges": hg.num_edges,
+        "supersteps_per_sec": round(supersteps / wall, 4),
+        "edges_per_sec": round(2 * n_inc * supersteps / wall, 1),
+        "total_changes": total_changes,  # determinism check across levels
+    }))
+
+
+if __name__ == "__main__":
+    main()
