@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
@@ -61,8 +61,13 @@ def connected_components(hg: Hypergraph, max_iterations: int = 200) -> CCResult:
     converged = False
     iterations = 0
     for it in range(max_iterations):
-        stepped = cc_superstep(hg, comp).localCheckpoint(eager=True)
-        changes = stepped.agg(F.sum("changed")).collect()[0][0] or 0
+        obs = Observation(f"cc_changes_{it}")
+        stepped = (
+            cc_superstep(hg, comp)
+            .observe(obs, F.sum("changed").alias("changes"))
+            .localCheckpoint(eager=True)
+        )
+        changes = obs.get["changes"] or 0
         comp.unpersist()
         comp = stepped.select("vertex_id", "component")
         iterations = it + 1

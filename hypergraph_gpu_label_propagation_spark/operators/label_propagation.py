@@ -35,7 +35,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
@@ -209,8 +209,16 @@ def label_propagation(
 
     for step in range(start_step, max_iterations):
         t0 = time.monotonic()
-        stepped = lp_superstep(hg, labels, max_labels, strategy).localCheckpoint(eager=True)
-        changes = stepped.agg(F.sum("changed")).collect()[0][0] or 0
+        # observe() folds the change-count reduction into the same job
+        # that materializes the checkpoint — ONE Spark action per
+        # superstep (the reference's single device->host barrier)
+        obs = Observation(f"lp_changes_{step}")
+        stepped = (
+            lp_superstep(hg, labels, max_labels, strategy)
+            .observe(obs, F.sum("changed").alias("changes"))
+            .localCheckpoint(eager=True)
+        )
+        changes = obs.get["changes"] or 0
         labels.unpersist()
         labels = stepped.select("vertex_id", "label")
         wall_ms = (time.monotonic() - t0) * 1000.0

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
@@ -100,11 +100,17 @@ def hypergraph_pagerank(
     converged = False
     iterations = 0
     for it in range(max_iterations):
-        new = pagerank_step(hg, state, dangling, damping).localCheckpoint(eager=True)
-        row = new.agg(
-            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
-            F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
-        ).collect()[0]
+        obs = Observation(f"pr_{it}")
+        new = (
+            pagerank_step(hg, state, dangling, damping)
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = obs.get
         delta = float(row["delta"] or 0.0)
         dangling = float(row["dang"] or 0.0)
         state.unpersist()

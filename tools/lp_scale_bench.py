@@ -42,25 +42,32 @@ def main() -> None:
     warm.agg(F.sum("changed")).collect()
     warm.unpersist()
 
-    t0 = time.monotonic()
+    per_step: list[float] = []
     total_changes = 0
+    t0 = time.monotonic()
     for _ in range(supersteps):
+        ts = time.monotonic()
         stepped = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
         total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
         labels.unpersist()
         labels = stepped.select("vertex_id", "label")
+        per_step.append(time.monotonic() - ts)
     wall = time.monotonic() - t0
 
+    # median superstep time is robust to shared-host noise spikes
+    med = sorted(per_step)[len(per_step) // 2]
     print(json.dumps({
         "strategy": strategy,
         "cores": cores,
         "supersteps": supersteps,
         "wall_sec": round(wall, 3),
+        "per_superstep_sec": [round(x, 3) for x in per_step],
+        "median_superstep_sec": round(med, 3),
         "incidence_rows": n_inc,
         "num_vertices": hg.num_vertices,
         "num_edges": hg.num_edges,
-        "supersteps_per_sec": round(supersteps / wall, 4),
-        "edges_per_sec": round(2 * n_inc * supersteps / wall, 1),
+        "supersteps_per_sec": round(1.0 / med, 4),
+        "edges_per_sec": round(2 * n_inc / med, 1),
         "total_changes": total_changes,  # determinism check across levels
     }))
 
