@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # keep catalog artifacts (managed-table warehouse, derby metastore)
+    # out of the repo; stale locations from dead sessions otherwise
+    # collide with saveAsTable (LOCATION_ALREADY_EXISTS)
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hg_spark_warehouse"),
+    )
     # shuffle files on tmpfs when available: local-mode shuffles are
     # disk-IO bound otherwise and parallelism doesn't scale (on a real
     # cluster each executor brings its own disks/bandwidth)

@@ -19,6 +19,8 @@ the join planner drops the Exchange on that side).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
@@ -30,7 +32,17 @@ def write_bucketed(
 ) -> tuple[str, str]:
     """Persist the dual layout as two bucketed tables
     ``{name}_by_vertex`` / ``{name}_by_edge``; returns the table names."""
+    import shutil
+
+    spark = incidence.sparkSession
     by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for t in (by_vertex, by_edge):
+        # drop both the catalog entry and any orphaned location left by
+        # a previous session (the in-memory catalog forgets tables but
+        # their directories survive -> LOCATION_ALREADY_EXISTS)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     (
         incidence.write.mode(mode)
         .bucketBy(buckets, "vertex_id").sortBy("vertex_id")
