@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label-classes", type=int, default=0,
                    help="0 -> default bound of 10 (argparse.cpp:277)")
     p.add_argument("--label-seed", type=int, default=42)
+    p.add_argument("--algo", choices=["lp", "pagerank", "cc", "triangles"],
+                   default="lp", help="which analytics kernel to run")
     p.add_argument("-i", "--iterations", type=int, default=100)
     p.add_argument("-t", "--tolerance", type=float, default=1e-6)
     p.add_argument("--load", help="load JSON/HGR1 instead of generating")
@@ -131,31 +133,67 @@ def main(argv: list[str] | None = None) -> int:
           f"tolerance={args.tolerance}", file=sys.stderr)
 
     t0 = time.monotonic()
-    res = label_propagation(
-        hg, max_labels=max_labels, max_iterations=args.iterations,
-        tolerance=args.tolerance, checkpoint_dir=args.checkpoint_dir,
-        resume=args.resume, verbose=True,
-    )
+    extra: dict = {}
+    if args.algo == "lp":
+        res = label_propagation(
+            hg, max_labels=max_labels, max_iterations=args.iterations,
+            tolerance=args.tolerance, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume, verbose=True,
+        )
+        out_df, iterations, converged = res.labels, res.iterations, res.converged
+        extra = {
+            "changes_per_iter": [m.changes for m in res.metrics],
+            "label_histogram": {
+                str(r["label"]): r["n"]
+                for r in res.labels.groupBy("label").agg(F.count("*").alias("n")).collect()
+            },
+        }
+    elif args.algo == "pagerank":
+        from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+            hypergraph_pagerank,
+        )
+
+        res = hypergraph_pagerank(
+            hg, max_iterations=args.iterations,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out_df, iterations, converged = res.ranks, res.iterations, res.converged
+        extra = {"rank_sum": float(res.ranks.agg(F.sum("rank")).collect()[0][0])}
+    elif args.algo == "cc":
+        from hypergraph_gpu_label_propagation_spark.operators.components import (
+            connected_components,
+        )
+
+        res = connected_components(
+            hg, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+        )
+        out_df, iterations, converged = res.components, res.iterations, res.converged
+        extra = {
+            "n_components": out_df.select("component").distinct().count(),
+        }
+    else:  # triangles
+        from hypergraph_gpu_label_propagation_spark.operators.triangles import triangle_count
+
+        out_df = triangle_count(hg)
+        iterations, converged = 1, True
+        extra = {"n_triangles": int(out_df.collect()[0]["n_triangles"])}
     iter_ms = (time.monotonic() - t0) * 1000
 
     t_fin0 = time.monotonic()
     if args.save:
         hg.incidence_by_edge.write.mode("overwrite").parquet(f"{args.save}/incidence")
-        res.labels.write.mode("overwrite").parquet(f"{args.save}/labels")
+        out_df.write.mode("overwrite").parquet(f"{args.save}/result")
     finalize_ms = (time.monotonic() - t_fin0) * 1000
 
     summary = {
-        "iterations": res.iterations,
-        "converged": res.converged,
+        "algo": args.algo,
+        "iterations": iterations,
+        "converged": converged,
         "setup_ms": round(setup_ms, 1),
         "iterations_ms": round(iter_ms, 1),
         "finalize_ms": round(finalize_ms, 1),
         "total_ms": round(setup_ms + iter_ms + finalize_ms, 1),
-        "changes_per_iter": [m.changes for m in res.metrics],
-        "label_histogram": {
-            str(r["label"]): r["n"]
-            for r in res.labels.groupBy("label").agg(F.count("*").alias("n")).collect()
-        },
+        **extra,
     }
     print(json.dumps(summary))
     if args.metrics_json:

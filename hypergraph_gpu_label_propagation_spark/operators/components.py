@@ -53,14 +53,31 @@ def cc_superstep(hg: Hypergraph, comp: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(hg: Hypergraph, max_iterations: int = 200) -> CCResult:
-    comp = hg.vertices().select(
-        "vertex_id", F.col("vertex_id").alias("component")
-    ).localCheckpoint(eager=True)
+def connected_components(
+    hg: Hypergraph,
+    max_iterations: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> CCResult:
+    from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
+        find_latest_snapshot,
+        write_snapshot,
+    )
+
+    start = 0
+    comp = None
+    if resume and checkpoint_dir:
+        found = find_latest_snapshot(hg.spark, checkpoint_dir, "cc")
+        if found is not None:
+            comp, start = found
+            comp = comp.select("vertex_id", "component")
+    if comp is None:
+        comp = hg.vertices().select("vertex_id", F.col("vertex_id").alias("component"))
+    comp = comp.localCheckpoint(eager=True)
     changes_per_iter: list[int] = []
     converged = False
-    iterations = 0
-    for it in range(max_iterations):
+    iterations = start
+    for it in range(start, max_iterations):
         obs = Observation(f"cc_changes_{it}")
         stepped = (
             cc_superstep(hg, comp)
@@ -72,6 +89,11 @@ def connected_components(hg: Hypergraph, max_iterations: int = 200) -> CCResult:
         comp = stepped.select("vertex_id", "component")
         iterations = it + 1
         changes_per_iter.append(int(changes))
+        if checkpoint_dir:
+            write_snapshot(
+                comp, checkpoint_dir, "cc", iterations,
+                {"op": "cc", "superstep": iterations, "changes": int(changes)},
+            )
         if changes == 0:
             converged = True
             break

@@ -81,6 +81,7 @@ def lp_superstep(
     vertex_labels: DataFrame,
     max_labels: int = DEFAULT_MAX_LABELS,
     strategy: str = "narrow",
+    labels_in_range: bool = False,
 ) -> DataFrame:
     """One full superstep; returns (vertex_id, label, changed).
 
@@ -113,10 +114,17 @@ def lp_superstep(
         # edge universe — reference all-zero-counts rule
         gathered_e = hg.incidence_by_vertex.join(labels_h, "vertex_id")
         best_e = majority_label_grouped_sql(gathered_e, "edge_id", "label", max_labels, "_m")
-        edge_universe = hg.incidence_by_edge.select("edge_id").distinct()
-        edge_labels = edge_universe.join(best_e, "edge_id", "left").select(
-            "edge_id", F.coalesce("_m", F.lit(0)).cast("int").alias("label")
-        )
+        if labels_in_range:
+            # every input label is in [0, max_labels) (true from the
+            # second superstep on — phase-2 output is always in range),
+            # so no edge can drop out of the argmax: skip the
+            # universe-coalesce join entirely
+            edge_labels = best_e.select("edge_id", F.col("_m").alias("label"))
+        else:
+            edge_universe = hg.incidence_by_edge.select("edge_id").distinct()
+            edge_labels = edge_universe.join(best_e, "edge_id", "left").select(
+                "edge_id", F.coalesce("_m", F.lit(0)).cast("int").alias("label")
+            )
     gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select(
         "vertex_id", "label"
     )
@@ -214,7 +222,13 @@ def label_propagation(
         # superstep (the reference's single device->host barrier)
         obs = Observation(f"lp_changes_{step}")
         stepped = (
-            lp_superstep(hg, labels, max_labels, strategy)
+            lp_superstep(
+                hg, labels, max_labels, strategy,
+                # phase-2 output is always in [0, max_labels): from the
+                # second superstep (or after a resume, whose snapshot is
+                # phase-2 output) the sentinel path is dead code
+                labels_in_range=(step > start_step or (resume and start_step > 0)),
+            )
             .observe(obs, F.sum("changed").alias("changes"))
             .localCheckpoint(eager=True)
         )

@@ -88,18 +88,34 @@ def hypergraph_pagerank(
     damping: float = 0.85,
     max_iterations: int = 100,
     tol: float = 1e-9,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PageRankResult:
     """Power-iterate to L1 delta < tol.  The default tol=1e-9 bounds the
     per-vertex error well under the north rule's allclose(1e-6) bar
     (per-vertex |err| <= L1 delta / (1 - damping) at convergence)."""
-    state = pagerank_state_init(hg).localCheckpoint(eager=True)
-    dangling = (
-        state.filter(F.col("inv_degree").isNull()).count() / float(hg.num_vertices)
+    from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
+        find_latest_snapshot,
+        write_snapshot,
+    )
+
+    start = 0
+    state = None
+    if resume and checkpoint_dir:
+        found = find_latest_snapshot(hg.spark, checkpoint_dir, "pagerank")
+        if found is not None:
+            state, start = found
+            state = state.select("vertex_id", "rank", "inv_degree")
+    if state is None:
+        state = pagerank_state_init(hg)
+    state = state.localCheckpoint(eager=True)
+    dangling = float(
+        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
     )
     deltas: list[float] = []
     converged = False
-    iterations = 0
-    for it in range(max_iterations):
+    iterations = start
+    for it in range(start, max_iterations):
         obs = Observation(f"pr_{it}")
         new = (
             pagerank_step(hg, state, dangling, damping)
@@ -117,6 +133,11 @@ def hypergraph_pagerank(
         state = new.drop("_old")
         iterations = it + 1
         deltas.append(delta)
+        if checkpoint_dir:
+            write_snapshot(
+                state, checkpoint_dir, "pagerank", iterations,
+                {"op": "pagerank", "superstep": iterations, "l1_delta": delta},
+            )
         if delta < tol:
             converged = True
             break

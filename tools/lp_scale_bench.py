@@ -47,7 +47,11 @@ def main() -> None:
     t0 = time.monotonic()
     for _ in range(supersteps):
         ts = time.monotonic()
-        stepped = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
+        # timed steps are supersteps >= 2: labels are phase-2 output,
+        # always in range (mirrors the label_propagation loop)
+        stepped = lp_superstep(hg, labels, 10, strategy, labels_in_range=True).localCheckpoint(
+            eager=True
+        )
         total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
         labels.unpersist()
         labels = stepped.select("vertex_id", "label")
