@@ -296,7 +296,10 @@ def q_events_window(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            # ts is TIMESTAMP_NTZ: cast-to-string is wall-clock and
+            # session-timezone-independent (unix_timestamp would route
+            # NTZ through the session timezone)
+            F.col("w.start").cast("string").alias("window_start"),
             "event_type",
             F.col("n_events").cast("long"),
             "sum_value",
@@ -306,6 +309,9 @@ def q_events_window(spark, sf_dir):
 
 def q_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # l_shipdate is TIMESTAMP_NTZ in the parquet: wall-clock semantics,
+    # so the literal comparison is session-timezone-independent in both
+    # engines (DuckDB TIMESTAMP literals are likewise naive)
     return (
         li.filter(F.col("l_shipdate") < "1998-09-03")
         .groupBy("l_returnflag", "l_linestatus")
@@ -575,7 +581,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
         ),
         "events_window": (
-            "SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start, "
+            "SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, "
             "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY 1, 2"
         ),

@@ -202,6 +202,51 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate recall ->
+    exact n-gram Jaccard verification on candidates ONLY.
+
+    This is the shape that survives 100 TB: the all-pairs stage never
+    exists; LSH bounds candidates to band-bucket collisions, and the
+    exact verifier (shingle join restricted by a semi-join to candidate
+    ids... here simply an inner join against the candidate pair set)
+    touches only those.  Returns (id_a, id_b, jaccard) with
+    jaccard >= threshold.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(cands, "id_a", "left_semi")
+        .join(b.join(cands, "id_b", "left_semi"), "shingle")
+        .join(cands, ["id_a", "id_b"])  # only verified candidate pairs
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

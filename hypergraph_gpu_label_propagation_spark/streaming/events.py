@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# watermarks require TIMESTAMP (with local timezone); the parquet column
+# is TIMESTAMP_NTZ but reads fine under this schema — pin the session to
+# UTC (session.py does) so wall-clock values match the batch twin
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -37,7 +40,7 @@ def stream_events_window(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            F.col("w.start").cast("string").alias("window_start"),
             "event_type",
             F.col("n_events").cast("long"),
             "sum_value",

@@ -165,3 +165,13 @@ def test_multimodal_real_backend_is_explicit_stub(spark):
     assets = synth_assets(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_assets(assets, backend=DecodeBackend.REAL).collect()
+
+
+def test_near_dup_pipeline_end_to_end(spark, docs):
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import near_dup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs.get((0, 1)) == 1.0          # exact dup recalled by LSH, verified exact
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (0, 3) not in pairs
