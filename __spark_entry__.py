@@ -226,6 +226,25 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
 
 
+def q_triangles_per_vertex(spark, sf_dir):
+    from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+        per_vertex_triangle_count,
+    )
+
+    hg = _freeze(spark, sf_dir)
+    return per_vertex_triangle_count(hg).select(
+        "vertex_id", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+def q_near_dup(spark, sf_dir):
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.05
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
         "content_hash", F.col("keep_id").cast("long"), F.col("n_dups").cast("long")
@@ -368,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
         "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "near_dup": q_near_dup,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -501,6 +522,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
             "FROM adj e1 JOIN adj e2 ON e1.v = e2.u "
             "JOIN adj e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
+        "triangles_per_vertex": (
+            f"WITH {_SQL_INC}, {_SQL_UNI}, "
+            "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "
+            "  FROM inc a JOIN inc b USING (edge_id) WHERE a.vertex_id < b.vertex_id), "
+            "tri AS (SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw "
+            "  FROM adj e1 JOIN adj e2 ON e1.v = e2.u "
+            "  JOIN adj e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "per AS (SELECT x AS vertex_id, COUNT(*) AS c FROM ("
+            "  SELECT tu AS x FROM tri UNION ALL SELECT tv FROM tri "
+            "  UNION ALL SELECT tw FROM tri) GROUP BY 1) "
+            "SELECT u2.vertex_id, CAST(COALESCE(per.c, 0) AS BIGINT) AS n_triangles "
+            "FROM uni u2 LEFT JOIN per USING (vertex_id)"
+        ),
+        "near_dup": (
+            f"WITH {_sql_minhash_sig_cte()}, "
+            "bands AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {j} AS band, md5(CAST(mh{2*j} AS VARCHAR) || ',' || "
+                f"CAST(mh{2*j+1} AS VARCHAR)) AS bucket FROM sig"
+                for j in range(4)
+            )
+            + "), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+            "  WHERE a.doc_id < b.doc_id), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+            "com AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc FROM cand c "
+            "  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b "
+            "  AND a.shingle = b.shingle GROUP BY 1, 2) "
+            "SELECT CAST(com.id_a AS BIGINT) AS id_a, CAST(com.id_b AS BIGINT) AS id_b, "
+            "ROUND(nc / (sa.n + sb.n - nc), 6) AS jaccard "
+            "FROM com JOIN sz sa ON com.id_a = sa.doc_id "
+            "JOIN sz sb ON com.id_b = sb.doc_id "
+            "WHERE ROUND(nc / (sa.n + sb.n - nc), 6) >= 0.05"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
