@@ -198,11 +198,14 @@ def lp_edges(
     )
 
     pairs = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    numbered = pairs.withColumn(
-        "edge_id", F.monotonically_increasing_id()
-    )
-    incidence = numbered.select("edge_id", F.col("src").alias("vertex_id")).unionByName(
-        numbered.select("edge_id", F.col("dst").alias("vertex_id"))
+    # Single scan: number the row, then explode BOTH endpoints from that one
+    # row.  A unionByName of two branches would re-evaluate
+    # monotonically_increasing_id() independently per branch — under a
+    # nondeterministic input order (post-shuffle, task retry) the same pair
+    # could get two different edge_ids and silently split into singletons.
+    incidence = (
+        pairs.withColumn("edge_id", F.monotonically_increasing_id())
+        .select("edge_id", F.explode(F.array("src", "dst")).alias("vertex_id"))
     )
     hg = Hypergraph.freeze(edges.sparkSession, incidence)
     res = label_propagation(

@@ -209,8 +209,14 @@ def label_propagation(
             if verbose:
                 print(f"[lp] resuming from superstep {start_step}")
 
-    labels = labels.localCheckpoint(eager=True)
     nv = float(hg.num_vertices)
+    if nv == 0:
+        # reference guard: an empty hypergraph converges trivially with 0
+        # iterations (label_propagation_openmp.cpp:23-29) — also keeps the
+        # changes/nv convergence ratio below well-defined
+        return LPResult(labels=labels, iterations=start_step, converged=True, metrics=[])
+
+    labels = labels.localCheckpoint(eager=True)
     metrics: list[SuperstepMetrics] = []
     converged = False
     iterations = start_step

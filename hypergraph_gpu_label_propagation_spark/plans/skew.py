@@ -37,7 +37,17 @@ def salted_join(
     so every (key, salt_value) bucket of ``big`` finds its match without
     concentrating a hot key on one reducer.  Exact: each big row joins
     exactly the one small row for its key.
+
+    Only ``inner`` and ``left`` are exact: the replication trick would
+    surface each *unmatched* small-side row ``salt`` times under right /
+    full outer joins, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}); "
+            "right/full outer would duplicate unmatched small-side rows "
+            "salt times"
+        )
     salted_big = big.withColumn(
         "_salt", (F.xxhash64(*[F.col(c) for c in big.columns]) % salt + salt) % salt
     )

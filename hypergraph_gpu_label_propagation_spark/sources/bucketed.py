@@ -74,8 +74,12 @@ def freeze_from_bucketed(
         row = by_vertex.agg(
             (F.max("vertex_id") + 1).alias("nv"), F.count_distinct("edge_id").alias("ne")
         ).collect()[0]
-        num_vertices = num_vertices or int(row["nv"] or 0)
-        num_edges = num_edges or int(row["ne"] or 0)
+        # None-sentinel (matching Hypergraph.freeze): an explicit 0 is a
+        # legitimate count for an empty table and must not be recomputed
+        if num_vertices is None:
+            num_vertices = int(row["nv"] or 0)
+        if num_edges is None:
+            num_edges = int(row["ne"] or 0)
     if persist:
         by_vertex = by_vertex.persist(StorageLevel.MEMORY_AND_DISK)
         by_edge = by_edge.persist(StorageLevel.MEMORY_AND_DISK)

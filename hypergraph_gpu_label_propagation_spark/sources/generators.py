@@ -169,12 +169,22 @@ def hsbm_hypergraph(
         return spark.range(candidates).mapInPandas(gen, "cand_id long, vertex_id long")
 
     n_cand = max(4 * num_edges, 1000)
+    n_acc = 0
     for _ in range(8):
         acc = accepted(n_cand)
         n_acc = acc.select("cand_id").distinct().count()
         if n_acc >= num_edges:
             break
         n_cand *= 2
+    if n_acc < num_edges:
+        # mirror the reference's failure behavior (hypergraph.cpp:238-285
+        # aborts after max(20m, 1000) rejected attempts) instead of silently
+        # returning a smaller hypergraph than requested
+        raise RuntimeError(
+            f"hsbm_hypergraph: only {n_acc}/{num_edges} hyperedges accepted after "
+            f"8 candidate-pool doublings ({n_cand} candidates); raise p_intra/p_inter "
+            "or lower num_edges"
+        )
     # global row_number is single-partition, but only over num_edges rows
     # of (cand_id) — generation-time cost, not the query hot path
     kept = (

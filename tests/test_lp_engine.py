@@ -152,3 +152,17 @@ def test_checkpoint_resume(spark, tmp_path):
     assert _collect_labels(resumed.labels, nv).tolist() == full_labels.tolist()
     assert resumed.iterations == full.iterations
     hg.unpersist()
+
+
+def test_empty_hypergraph_returns_zero_iterations(spark):
+    """Reference guard (label_propagation_openmp.cpp:23-29): an empty
+    hypergraph converges trivially — no ZeroDivisionError on changes/nv."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+
+    inc = spark.createDataFrame([], "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc, num_vertices=0, num_edges=0, num_partitions=2)
+    res = label_propagation(hg, labels_df(spark, []))
+    assert res.iterations == 0
+    assert res.converged
+    assert res.labels.count() == 0
+    hg.unpersist()

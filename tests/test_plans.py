@@ -84,3 +84,16 @@ def test_lp_superstep_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan
     hg.unpersist()
+
+
+def test_salted_join_rejects_outer(spark):
+    """salted_join replicates the small side; unmatched small-side rows
+    would surface `salt` times under right/full outer — rejected."""
+    import pytest as _pytest
+    from hypergraph_gpu_label_propagation_spark.plans.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, x string")
+    small = spark.createDataFrame([(1, "y")], "k long, y string")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", salt=4, how="full")
+    assert salted_join(big, small, "k", salt=4, how="left").count() == 1
