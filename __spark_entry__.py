@@ -450,6 +450,85 @@ def _sql_pagerank_2iter() -> str:
     )
 
 
+def _sql_lp_converged(max_supersteps: int = 12) -> str:
+    """LP-to-convergence twin: unroll ``max_supersteps`` supersteps of the
+    majority CTE chain.  Labels reach a fixed point once changes = 0 (the
+    tol=1e-6 stopping rule at these vertex counts), so any unroll depth
+    >= the convergence iteration count (4-6 at sf0.001/sf0.01, fixed-point
+    verified K=10 vs K=12 identical) yields exactly the converged labels.
+    MATERIALIZED pins DuckDB to evaluate each shared CTE once — without it
+    the chain re-derives `inc` per reference (30 s -> 0.8 s at sf0.01)."""
+    ctes = [
+        _SQL_INC.replace("inc AS (", "inc AS MATERIALIZED ("),
+        _SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED ("),
+        _SQL_LAB0,
+    ]
+    prev = "lab0"
+    for k in range(1, max_supersteps + 1):
+        ctes.append(
+            f"ej{k} AS (SELECT i.edge_id, l.label FROM inc i JOIN {prev} l USING (vertex_id))"
+        )
+        ctes.append(_sql_majority(f"ej{k}", "edge_id", f"emaj{k}"))
+        ctes.append(
+            f"vj{k} AS (SELECT i.vertex_id, e.label FROM inc i JOIN emaj{k} e USING (edge_id))"
+        )
+        ctes.append(_sql_majority(f"vj{k}", "vertex_id", f"vmaj{k}"))
+        ctes.append(
+            f"lab{k} AS MATERIALIZED (SELECT u.vertex_id, "
+            f"CAST(COALESCE(v.label, 0) AS INT) AS label "
+            f"FROM uni u LEFT JOIN vmaj{k} v USING (vertex_id))"
+        )
+        prev = f"lab{k}"
+    return "WITH " + ", ".join(ctes) + f" SELECT vertex_id, label FROM {prev}"
+
+
+def _sql_pagerank_converged(tol: float = 1e-7, max_iterations: int = 100) -> str:
+    """PageRank-to-convergence twin: a recursive CTE that replicates the
+    Spark driver loop's exact stopping rule (stop once the L1 delta of the
+    just-accepted state drops under tol, operators/pagerank.py:118-143).
+
+    Each working-table row carries (k, vertex_id, rank, prev) so the
+    recursive term can compute the step-k L1 delta from its own rows and
+    emit step k+1 only while delta >= tol.  Both engines therefore run the
+    IDENTICAL iteration count on identical data; remaining cross-engine
+    drift is summation-order noise (~1e-14), four orders under the closest
+    round-6 boundary (2.1e-11 at sf0.01), so ROUND(rank, 6) hash-matches.
+    """
+    d = DAMPING
+    return f"""
+WITH RECURSIVE
+{_SQL_INC.replace("inc AS (", "inc AS MATERIALIZED (")},
+{_SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED (")},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+invdeg AS MATERIALIZED (SELECT vertex_id, 1.0 / COUNT(*) AS inv_degree
+  FROM inc GROUP BY vertex_id),
+it(k, vertex_id, rank, prev) AS (
+  SELECT 0, u.vertex_id, 1.0 / n.n, CAST(0.0 AS DOUBLE)
+  FROM uni u CROSS JOIN nn n
+  UNION ALL
+  SELECT s.k + 1, c.vertex_id,
+         (1 - {d}) / n.n + {d} * (s.dm / n.n) + {d} * COALESCE(g.g, 0) AS rank,
+         c.rank AS prev
+  FROM it c
+  CROSS JOIN nn n
+  CROSS JOIN (SELECT MAX(k) AS k, SUM(ABS(rank - prev)) AS dl,
+                COALESCE(SUM(CASE WHEN vertex_id NOT IN
+                  (SELECT vertex_id FROM invdeg) THEN rank END), 0) AS dm
+              FROM it) s
+  LEFT JOIN (SELECT i.vertex_id, SUM(e.mass) AS g
+             FROM inc i JOIN (SELECT i2.edge_id,
+                                SUM(c2.rank * g2.inv_degree) / COUNT(*) AS mass
+                              FROM inc i2 JOIN it c2 USING (vertex_id)
+                              JOIN invdeg g2 ON g2.vertex_id = c2.vertex_id
+                              GROUP BY i2.edge_id) e USING (edge_id)
+             GROUP BY i.vertex_id) g USING (vertex_id)
+  WHERE s.dl >= {tol} AND s.k < {max_iterations}
+)
+SELECT vertex_id, ROUND(rank, 6) AS rank
+FROM it WHERE k = (SELECT MAX(k) FROM it)
+"""
+
+
 def _sql_minhash_sig_cte() -> str:
     """doc -> (doc_id, mh0..mh7) as CTEs: toks/shingles/hash/sig."""
     coeffs = minhash_coeffs(8)
@@ -504,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT edge_id, label FROM emaj"
         ),
         "lp_superstep": _sql_lp_superstep_body(),
+        "lp_converged": _sql_lp_converged(),
+        "pagerank_converged": _sql_pagerank_converged(),
         "connected_components": (
             f"WITH RECURSIVE {_SQL_INC}, {_SQL_UNI}, "
             "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "
@@ -654,7 +735,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_nationkey AS nationkey FROM customer "
             "UNION SELECT s_nationkey FROM supplier)"
         ),
-        # lp_converged / pagerank_converged: iterative-to-convergence;
         # gen_uniform / source_files_hypergraph: seeded Spark-native
         # generation — no SQL twins; driver records rows-only checks.
     }
