@@ -18,6 +18,8 @@ per-bucket local top-k followed by a tiny global merge.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,11 +74,50 @@ def cosine_topk(
     )
 
 
-def _plane_sign(plane: int, dim: int) -> F.Column:
+def plane_sign_value(plane: int, dim: int) -> float:
     """Deterministic +-1 from md5('p{plane}:d{dim}') parity — identical
-    formula is reproducible in any engine with md5."""
-    h = F.conv(F.substring(F.md5(F.lit(f"p{plane}:d{dim}")), 1, 15), 16, 10).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    formula is reproducible in any engine with md5 (DuckDB twin:
+    ('0x'||substr(md5('p'||p||':d'||d),1,15))::BIGINT % 2)."""
+    h = int(hashlib.md5(f"p{plane}:d{dim}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def plane_matrix(num_planes: int, dim: int, first_plane: int = 0) -> list[list[float]]:
+    """The +-1 Rademacher plane matrix, precomputed driver-side.  Shipped
+    to executors as ONE literal, so the plan stays O(num_planes) nodes at
+    any embedding dim (at dim=768 the old per-element expression tree was
+    a ~30k-node codegen blowup)."""
+    return [
+        [plane_sign_value(p, d) for d in range(dim)]
+        for p in range(first_plane, first_plane + num_planes)
+    ]
+
+
+def bucket_expr(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """bucket = integer whose bit p is sign(vec . plane_p), as a single
+    JVM-side expression over a literal plane matrix: per-plane dot via
+    transform+zip_with/aggregate, bit packing via a literal power array."""
+    powers = F.lit([float(1 << p) for p in range(len(planes))])
+    bits = F.transform(
+        F.lit(planes),
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        F.aggregate(
+            F.zip_with(bits, powers, lambda b, w: b * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+    )
 
 
 def signlsh_buckets(
@@ -85,24 +126,22 @@ def signlsh_buckets(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int | None = None,
+    first_plane: int = 0,
 ) -> DataFrame:
     """(id, bucket): bucket = integer whose bit p is sign(v . plane_p).
 
-    Planes are +-1 vectors (Rademacher), deterministic via md5; the dot
-    product is a JVM-side aggregate over the array column.
+    Planes are +-1 vectors (Rademacher), deterministic via md5, built
+    driver-side (:func:`plane_matrix`) and shipped as one literal.
+    ``dim`` is required — sniffing it from the data would cost a driver
+    action per call (and break on an empty frame).
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[_plane_sign(p, d) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        raise ValueError(
+            "signlsh_buckets requires dim (the embedding dimensionality); "
+            "pass it explicitly instead of sniffing the data"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    planes = plane_matrix(num_planes, dim, first_plane)
+    return df.select(F.col(id_col), bucket_expr(F.col(vec_col), planes).alias("bucket"))
 
 
 def signlsh_topk(
@@ -113,11 +152,15 @@ def signlsh_topk(
     k: int = 5,
     num_planes: int = 8,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from same-bucket collisions (plus
     hamming-1 probe buckets when ``multiprobe``), exact cosine re-rank
-    on candidates only.  Returns (query_id, neighbor_id, cos_sim, rank)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    on candidates only.  Returns (query_id, neighbor_id, cos_sim, rank).
+
+    ``dim`` is required (embedding dimensionality) — no data sniffing."""
+    if dim is None:
+        raise ValueError("signlsh_topk requires dim (the embedding dimensionality)")
     cb = signlsh_buckets(corpus, id_col, vec_col, num_planes, dim).join(
         corpus.select(F.col(id_col), F.col(vec_col)), id_col
     ).select(F.col(id_col).alias("neighbor_id"), "bucket", F.col(vec_col).alias("_cv"))
@@ -150,4 +193,18 @@ def signlsh_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row (n_exact, n_hit, recall): fraction of exact top-k pairs the
+    approximate result recovered.  Meant to ride along a production ANN
+    run (sampled query set) so recall is measured per run, not per test."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    joined = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        F.round(F.sum(F.coalesce("_hit", F.lit(0))) / F.count("*"), 6).alias("recall"),
     )

@@ -50,7 +50,11 @@ def clique_expansion(hg: Hypergraph, max_edge_size: int | None = None) -> DataFr
 
 def triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFrame:
     """Single-row DataFrame (n_triangles: long)."""
-    adj = clique_expansion(hg, max_edge_size).persist()
+    # eager localCheckpoint, not persist(): adj is referenced 3x (wedge
+    # build + semi-join), and checkpoint blocks are reclaimed by the
+    # ContextCleaner once the frame is GC'd — a CacheManager persist()
+    # entry would leak across a long session until explicit unpersist
+    adj = clique_expansion(hg, max_edge_size).localCheckpoint(eager=True)
     wedges = adj.join(
         adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
     )  # u < v < w by construction
@@ -64,7 +68,7 @@ def triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFram
 def per_vertex_triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFrame:
     """(vertex_id, n_triangles) — triangles incident to each vertex;
     degree-0 / triangle-free vertices get 0."""
-    adj = clique_expansion(hg, max_edge_size).persist()
+    adj = clique_expansion(hg, max_edge_size).localCheckpoint(eager=True)
     wedges = adj.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
     tri = wedges.join(adj.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
     per = (

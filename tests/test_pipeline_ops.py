@@ -14,7 +14,8 @@ from hypergraph_gpu_label_propagation_spark.functions.text import (
     quality_features,
 )
 from hypergraph_gpu_label_propagation_spark.operators.dedup import (
-    embedding_cosine_dup_pairs,
+    embedding_cosine_dup_pairs_exact,
+    embedding_near_dup_pairs,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_candidates,
@@ -132,14 +133,79 @@ def test_cosine_topk_exact(spark, vectors):
     assert [r["neighbor_id"] for r in out] == want
 
 
-def test_embedding_dup_pairs(spark, vectors):
-    pairs = embedding_cosine_dup_pairs(vectors, "vec_id", "embedding", threshold=0.99).collect()
-    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+def test_embedding_near_dup_lsh_matches_exact(spark, vectors):
+    """The banded-LSH near-dup path finds the planted pair, and its exact
+    verify stage keeps precision 1.0 vs the brute-force oracle."""
+    got = embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", dim=16, threshold=0.99
+    ).collect()
+    want = embedding_cosine_dup_pairs_exact(
+        vectors, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+    assert {(r["id_a"], r["id_b"]) for r in got} <= {(r["id_a"], r["id_b"]) for r in want}
+
+
+def test_embedding_near_dup_no_crossjoin(spark, vectors):
+    """The scale path must never materialize an all-pairs product."""
+    plan = embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", dim=16, threshold=0.99
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Cross" not in plan and "CartesianProduct" not in plan
 
 
 def test_signlsh_finds_planted_neighbor(spark, vectors):
-    out = signlsh_topk(vectors, vectors.filter("vec_id = 0"), k=3, num_planes=6).collect()
+    out = signlsh_topk(
+        vectors, vectors.filter("vec_id = 0"), k=3, num_planes=6, dim=16
+    ).collect()
     assert out and out[0]["neighbor_id"] == 1  # near-identical vector shares every bucket
+
+
+def test_signlsh_requires_dim(spark, vectors):
+    with pytest.raises(ValueError, match="dim"):
+        signlsh_topk(vectors, vectors, k=3)
+
+
+def test_signlsh_wide_dim_plan_stays_small(spark):
+    """At a real embedding dim (768) the plan must stay O(num_planes)
+    nodes — the plane matrix ships as ONE literal, not 768x8 expression
+    nodes (round-1 verdict scale hazard)."""
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+        signlsh_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=768).astype(np.float32).tolist()) for i in range(4)]
+    wide = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = signlsh_buckets(wide, "vec_id", "embedding", num_planes=8, dim=768)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000  # the old per-element tree printed ~30k nodes
+    got = out.collect()
+    assert len(got) == 4
+    # buckets agree with a numpy recomputation of the same md5 planes
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import plane_matrix
+
+    planes = np.array(plane_matrix(8, 768))
+    for r in got:
+        v = np.array(dict(rows)[r["vec_id"]], dtype=np.float64)
+        want = sum(1 << p for p in range(8) if float(planes[p] @ v) > 0)
+        assert r["bucket"] == want
+
+
+def test_ann_recall_reporting(spark, vectors):
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import ann_recall
+
+    queries = vectors.filter("vec_id < 4")
+    exact = cosine_topk(vectors, queries, k=3)
+    approx = signlsh_topk(vectors, queries, k=3, num_planes=6, dim=16)
+    row = ann_recall(approx, exact).collect()[0]
+    assert row["n_exact"] == 12
+    assert 0.0 <= row["recall"] <= 1.0
+    # unrelated gaussian vectors have ~0 cosine sim, so their "top-3" is
+    # noise LSH rightly misses; the planted high-sim pair must be recovered
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert (0, 1) in hits and (1, 0) in hits
+    assert row["n_hit"] >= 2
 
 
 def test_multimodal_plumbing(spark):
