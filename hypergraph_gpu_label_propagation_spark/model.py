@@ -56,7 +56,15 @@ class Hypergraph:
     num_vertices: int
     num_edges: int
     num_partitions: int
+    incidence_rows: int | None = None
     _persisted: list[DataFrame] = field(default_factory=list)
+
+    def count_incidence(self) -> int:
+        """Total incidence rows (memoized; one cheap job on the cached
+        layout when freeze() didn't already compute it)."""
+        if self.incidence_rows is None:
+            self.incidence_rows = self.incidence_by_vertex.count()
+        return self.incidence_rows
 
     # -- constructors -------------------------------------------------
 
@@ -94,21 +102,36 @@ class Hypergraph:
         vertex-id bounds, src/common/hypergraph.cpp:17-21), and caches
         the two partition layouts.
         """
-        if num_partitions is None:
-            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
         incidence = incidence.select(
             F.col("edge_id").cast("long").alias("edge_id"),
             F.col("vertex_id").cast("long").alias("vertex_id"),
         )
 
+        incidence_rows = None
         if num_vertices is None or num_edges is None:
             row = incidence.agg(
                 (F.max("vertex_id") + 1).alias("nv"),
                 F.count_distinct("edge_id").alias("ne"),
+                F.count("*").alias("rows"),  # free on the same scan
             ).collect()[0]
             num_vertices = num_vertices if num_vertices is not None else int(row["nv"] or 0)
             num_edges = num_edges if num_edges is not None else int(row["ne"] or 0)
+            incidence_rows = int(row["rows"])
+
+        if num_partitions is None:
+            if incidence_rows is not None:
+                # size the frozen layouts to the data (plans/tuning.py):
+                # the iterative loops run at this same count, so their
+                # joins against the cached layouts stay exchange-free
+                from hypergraph_gpu_label_propagation_spark.plans.tuning import (
+                    loop_partitions,
+                )
+
+                num_partitions = loop_partitions(
+                    incidence_rows, spark.sparkContext.defaultParallelism
+                )
+            else:
+                num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
         if validate:
             bad = incidence.filter(
@@ -144,6 +167,7 @@ class Hypergraph:
             num_vertices=num_vertices,
             num_edges=num_edges,
             num_partitions=num_partitions,
+            incidence_rows=incidence_rows,
         )
         hg._persisted = [by_vertex, by_edge]
         return hg

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
 
 
 @dataclass
@@ -77,25 +79,28 @@ def connected_components(
     changes_per_iter: list[int] = []
     converged = False
     iterations = start
-    for it in range(start, max_iterations):
-        obs = Observation(f"cc_changes_{it}")
-        stepped = (
-            cc_superstep(hg, comp)
-            .observe(obs, F.sum("changed").alias("changes"))
-            .localCheckpoint(eager=True)
-        )
-        changes = obs.get["changes"] or 0
-        comp.unpersist()
-        comp = stepped.select("vertex_id", "component")
-        iterations = it + 1
-        changes_per_iter.append(int(changes))
-        if checkpoint_dir:
-            write_snapshot(
-                comp, checkpoint_dir, "cc", iterations,
-                {"op": "cc", "superstep": iterations, "changes": int(changes)},
+    # loop-scoped tuning (plans/tuning.py): AQE off, data-sized partitions
+    cores = hg.spark.sparkContext.defaultParallelism
+    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+        for it in range(start, max_iterations):
+            obs = Observation(f"cc_changes_{it}")
+            stepped = (
+                cc_superstep(hg, comp)
+                .observe(obs, F.sum("changed").alias("changes"))
+                .localCheckpoint(eager=True)
             )
-        if changes == 0:
-            converged = True
-            break
+            changes = obs.get["changes"] or 0
+            comp.unpersist()
+            comp = stepped.select("vertex_id", "component")
+            iterations = it + 1
+            changes_per_iter.append(int(changes))
+            if checkpoint_dir:
+                write_snapshot(
+                    comp, checkpoint_dir, "cc", iterations,
+                    {"op": "cc", "superstep": iterations, "changes": int(changes)},
+                )
+            if changes == 0:
+                converged = True
+                break
     return CCResult(components=comp, iterations=iterations, converged=converged,
                     changes_per_iter=changes_per_iter)

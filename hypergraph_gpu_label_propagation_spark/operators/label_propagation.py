@@ -43,6 +43,7 @@ from hypergraph_gpu_label_propagation_spark.operators.majority import (
     majority_label,
     majority_label_grouped_sql,
 )
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
 
 DEFAULT_MAX_LABELS = 10  # argparse.cpp:277 / cuda.cu:13
 
@@ -221,38 +222,43 @@ def label_propagation(
     converged = False
     iterations = start_step
 
-    for step in range(start_step, max_iterations):
-        t0 = time.monotonic()
-        # observe() folds the change-count reduction into the same job
-        # that materializes the checkpoint — ONE Spark action per
-        # superstep (the reference's single device->host barrier)
-        obs = Observation(f"lp_changes_{step}")
-        stepped = (
-            lp_superstep(
-                hg, labels, max_labels, strategy,
-                # phase-2 output is always in [0, max_labels): from the
-                # second superstep (or after a resume, whose snapshot is
-                # phase-2 output) the sentinel path is dead code
-                labels_in_range=(step > start_step or (resume and start_step > 0)),
+    # loop-scoped tuning: AQE off (its per-exchange barriers dominate the
+    # superstep; the loop's frame shapes are known and stable) and
+    # shuffle partitions sized to the incidence data — see plans/tuning.py
+    cores = hg.spark.sparkContext.defaultParallelism
+    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+        for step in range(start_step, max_iterations):
+            t0 = time.monotonic()
+            # observe() folds the change-count reduction into the same job
+            # that materializes the checkpoint — ONE Spark action per
+            # superstep (the reference's single device->host barrier)
+            obs = Observation(f"lp_changes_{step}")
+            stepped = (
+                lp_superstep(
+                    hg, labels, max_labels, strategy,
+                    # phase-2 output is always in [0, max_labels): from the
+                    # second superstep (or after a resume, whose snapshot is
+                    # phase-2 output) the sentinel path is dead code
+                    labels_in_range=(step > start_step or (resume and start_step > 0)),
+                )
+                .observe(obs, F.sum("changed").alias("changes"))
+                .localCheckpoint(eager=True)
             )
-            .observe(obs, F.sum("changed").alias("changes"))
-            .localCheckpoint(eager=True)
-        )
-        changes = obs.get["changes"] or 0
-        labels.unpersist()
-        labels = stepped.select("vertex_id", "label")
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        iterations = step + 1
-        m = SuperstepMetrics(iterations, int(changes), changes / nv if nv else 0.0, wall_ms)
-        metrics.append(m)
-        if verbose and iterations % 10 == 0:
-            print(f"[lp] superstep {iterations}: changes={changes}")
-        if checkpoint_dir and (iterations % checkpoint_every == 0):
-            labels.write.mode("overwrite").parquet(_labels_path(checkpoint_dir, iterations))
-            with open(os.path.join(checkpoint_dir, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(m.__dict__) + "\n")
-        if changes / nv < tolerance:  # strict <, post-update (openmp:148-154)
-            converged = True
-            break
+            changes = obs.get["changes"] or 0
+            labels.unpersist()
+            labels = stepped.select("vertex_id", "label")
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            iterations = step + 1
+            m = SuperstepMetrics(iterations, int(changes), changes / nv if nv else 0.0, wall_ms)
+            metrics.append(m)
+            if verbose and iterations % 10 == 0:
+                print(f"[lp] superstep {iterations}: changes={changes}")
+            if checkpoint_dir and (iterations % checkpoint_every == 0):
+                labels.write.mode("overwrite").parquet(_labels_path(checkpoint_dir, iterations))
+                with open(os.path.join(checkpoint_dir, "metrics.jsonl"), "a") as f:
+                    f.write(json.dumps(m.__dict__) + "\n")
+            if changes / nv < tolerance:  # strict <, post-update (openmp:148-154)
+                converged = True
+                break
 
     return LPResult(labels=labels, iterations=iterations, converged=converged, metrics=metrics)

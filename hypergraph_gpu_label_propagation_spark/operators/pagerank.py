@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
 
 
 @dataclass
@@ -115,32 +116,35 @@ def hypergraph_pagerank(
     deltas: list[float] = []
     converged = False
     iterations = start
-    for it in range(start, max_iterations):
-        obs = Observation(f"pr_{it}")
-        new = (
-            pagerank_step(hg, state, dangling, damping)
-            .observe(
-                obs,
-                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
-                F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+    # loop-scoped tuning (plans/tuning.py): AQE off, data-sized partitions
+    cores = hg.spark.sparkContext.defaultParallelism
+    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+        for it in range(start, max_iterations):
+            obs = Observation(f"pr_{it}")
+            new = (
+                pagerank_step(hg, state, dangling, damping)
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                    F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        row = obs.get
-        delta = float(row["delta"] or 0.0)
-        dangling = float(row["dang"] or 0.0)
-        state.unpersist()
-        state = new.drop("_old")
-        iterations = it + 1
-        deltas.append(delta)
-        if checkpoint_dir:
-            write_snapshot(
-                state, checkpoint_dir, "pagerank", iterations,
-                {"op": "pagerank", "superstep": iterations, "l1_delta": delta},
-            )
-        if delta < tol:
-            converged = True
-            break
+            row = obs.get
+            delta = float(row["delta"] or 0.0)
+            dangling = float(row["dang"] or 0.0)
+            state.unpersist()
+            state = new.drop("_old")
+            iterations = it + 1
+            deltas.append(delta)
+            if checkpoint_dir:
+                write_snapshot(
+                    state, checkpoint_dir, "pagerank", iterations,
+                    {"op": "pagerank", "superstep": iterations, "l1_delta": delta},
+                )
+            if delta < tol:
+                converged = True
+                break
     return PageRankResult(
         ranks=state.select("vertex_id", "rank"),
         iterations=iterations,

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 from hypergraph_gpu_label_propagation_spark.operators.label_propagation import lp_superstep
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
 from hypergraph_gpu_label_propagation_spark.session import get_spark
 
 
@@ -37,26 +38,29 @@ def main() -> None:
         F.col("id").alias("vertex_id"), (F.col("id") % 10).cast("int").alias("label")
     ).localCheckpoint(eager=True)
 
-    # one untimed warmup superstep: JIT, codegen compile, page cache
-    warm = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
-    warm.agg(F.sum("changed")).collect()
-    warm.unpersist()
+    # same loop-scoped tuning the label_propagation driver applies
+    # (plans/tuning.py): AQE off, data-sized shuffle partitions
+    with loop_conf(spark, loop_partitions(n_inc, cores)):
+        # one untimed warmup superstep: JIT, codegen compile, page cache
+        warm = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
+        warm.agg(F.sum("changed")).collect()
+        warm.unpersist()
 
-    per_step: list[float] = []
-    total_changes = 0
-    t0 = time.monotonic()
-    for _ in range(supersteps):
-        ts = time.monotonic()
-        # timed steps are supersteps >= 2: labels are phase-2 output,
-        # always in range (mirrors the label_propagation loop)
-        stepped = lp_superstep(hg, labels, 10, strategy, labels_in_range=True).localCheckpoint(
-            eager=True
-        )
-        total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
-        labels.unpersist()
-        labels = stepped.select("vertex_id", "label")
-        per_step.append(time.monotonic() - ts)
-    wall = time.monotonic() - t0
+        per_step: list[float] = []
+        total_changes = 0
+        t0 = time.monotonic()
+        for _ in range(supersteps):
+            ts = time.monotonic()
+            # timed steps are supersteps >= 2: labels are phase-2 output,
+            # always in range (mirrors the label_propagation loop)
+            stepped = lp_superstep(
+                hg, labels, 10, strategy, labels_in_range=True
+            ).localCheckpoint(eager=True)
+            total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
+            labels.unpersist()
+            labels = stepped.select("vertex_id", "label")
+            per_step.append(time.monotonic() - ts)
+        wall = time.monotonic() - t0
 
     # median superstep time is robust to shared-host noise spikes
     med = sorted(per_step)[len(per_step) // 2]
