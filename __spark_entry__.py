@@ -16,6 +16,7 @@ driver-provided data so DuckDB can cross-check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -342,6 +343,40 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_stream(spark, sf_dir):
+    """Structured Streaming contract query: drive the watermarked
+    tumbling-window aggregation (streaming/events.py) over a file stream
+    to completion into a memory sink.  Complete output mode emits every
+    window, so the result equals the batch twin exactly and the existing
+    events_window oracle SQL verifies the STREAMING path end-to-end
+    (append-mode late-data semantics are pytest-covered)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        run_to_completion,
+        stream_events_window,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, "events.parquet"))
+        else:
+            shutil.copy(src, tmp)
+        name = f"events_stream_{uuid.uuid4().hex[:8]}"
+        out = run_to_completion(
+            stream_events_window(spark, tmp), name, output_mode="complete"
+        )
+        # memory sink holds the rows; localCheckpoint detaches the plan
+        # from the temp files/table so cleanup below is safe
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # l_shipdate is TIMESTAMP_NTZ in the parquet: wall-clock semantics,
@@ -416,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "events_window": q_events_window,
+        "events_stream": q_events_stream,
         "agg_pushdown": q_agg_pushdown,
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
@@ -583,7 +619,7 @@ def _sql_simhash() -> str:
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     markers_values = ", ".join(f"('{l}', '{w}')" for l, w in lang_markers_rows())
-    return {
+    oracles = {
         "incidence_build": f"WITH {_SQL_INC} SELECT * FROM inc",
         "vertex_degrees": (
             f"WITH {_SQL_INC}, {_SQL_UNI}, "
@@ -784,3 +820,7 @@ def oracle_sql() -> dict[str, str]:
         # gen_uniform / source_files_hypergraph: seeded Spark-native
         # generation — no SQL twins; driver records rows-only checks.
     }
+    # the streaming query in complete output mode emits every window, so
+    # its result equals the batch twin's — same oracle verifies both
+    oracles["events_stream"] = oracles["events_window"]
+    return oracles

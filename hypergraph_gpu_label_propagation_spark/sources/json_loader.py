@@ -140,6 +140,93 @@ def load_json_simple_distributed(spark: SparkSession, path: str) -> HypergraphFr
     return HypergraphFrames(incidence, labels, num_vertices, num_edges)
 
 
+RICH_SCHEMA = (
+    "`type` string, `hypergraph-data` map<string,string>, "
+    "`node-data` map<string,string>, `edge-dict` map<string,array<string>>, "
+    "`labels` array<int>"
+)
+
+
+def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFrames:
+    """Distributed rich-schema ingest (reference utils.hpp:225-288).
+
+    The file is parsed executor-side by ``spark.read.json`` with an
+    explicit MapType schema — Spark's Jackson parser stores map entries
+    in document order, so ``map_keys``/``map_entries`` + ``posexplode``
+    recover exactly the orders the reference's first-seen densification
+    depends on (node-data key order, then edge-dict document order,
+    utils.hpp:167-175).
+
+    The ONLY sequential step is numbering the distinct vertex ids
+    (a row_number over one row per vertex — the id map, not the
+    incidence data); the map is then broadcast into the incidence join.
+    Everything sized O(|incidence|) stays distributed.
+    """
+    raw = spark.read.option("multiLine", "true").schema(RICH_SCHEMA).json(path)
+
+    # node-data keys in document order -> ranks 0..k-1
+    node_sids = raw.select(
+        F.posexplode_outer(F.map_keys(F.col("node-data"))).alias("pos", "sid")
+    ).filter(F.col("sid").isNotNull())
+
+    # edge-dict entries in document order: edge_id = position; members
+    # keep their in-array position for first-seen tie-breaking
+    entries = raw.select(
+        F.posexplode_outer(F.map_entries(F.col("edge-dict"))).alias("epos", "e")
+    ).filter(F.col("e").isNotNull())
+    members = entries.select(
+        F.col("epos").cast("long").alias("edge_id"),
+        F.col("e.key").alias("eid"),
+        F.posexplode("e.value").alias("mpos", "sid"),
+    )
+    if members.filter(F.col("sid").isNull()).limit(1).count():
+        raise ValueError("JSON: null member in edge-dict")
+    if (
+        entries.filter(F.size("e.value") == 0).limit(1).count()
+    ):
+        raise ValueError("JSON: hyperedge cannot be empty (utils.hpp:317)")
+
+    # first-seen order: node-data keys first (their document rank), then
+    # edge-dict members by (edge position, member position)
+    from pyspark.sql import Window
+
+    first_edge_seen = (
+        members.groupBy("sid")
+        .agg(F.min(F.struct("edge_id", "mpos")).alias("first"))
+        .join(node_sids.select("sid"), "sid", "left_anti")
+    )
+    n_nodes = node_sids.count()
+    w = Window.orderBy(F.col("first.edge_id"), F.col("first.mpos"))
+    idmap = node_sids.select("sid", F.col("pos").cast("long").alias("vid")).unionByName(
+        first_edge_seen.select(
+            "sid", (F.row_number().over(w) - 1 + F.lit(n_nodes)).cast("long").alias("vid")
+        )
+    ).localCheckpoint(eager=True)
+
+    num_vertices = idmap.count()
+    if num_vertices == 0:
+        raise ValueError("JSON: no vertices found in node-data/edge-dict")
+    incidence = members.join(F.broadcast(idmap), "sid").select(
+        "edge_id", F.col("vid").alias("vertex_id")
+    )
+
+    labels_len = raw.select(F.size("labels")).first()[0]
+    if labels_len is not None and labels_len >= 0:
+        if labels_len != num_vertices:
+            raise ValueError(
+                "JSON: labels size must equal number of vertices (utils.hpp:293-295)"
+            )
+        labels = raw.select(
+            F.posexplode("labels").alias("vertex_id", "label")
+        ).select(F.col("vertex_id").cast("long"), F.col("label").cast("int"))
+    else:
+        labels = spark.range(num_vertices).select(
+            F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
+        )
+    num_edges = entries.count()
+    return HypergraphFrames(incidence, labels, num_vertices, num_edges)
+
+
 def save_hypergraph_json(frames: HypergraphFrames, path: str) -> None:
     """Write the simple schema (collects to driver — interop util for
     small graphs, mirroring save_to_file's role, hypergraph.cpp:293-326)."""
