@@ -31,12 +31,20 @@ LABELS_SCHEMA = "vertex_id long, label int"
 
 @dataclass
 class HypergraphFrames:
-    """The raw relational form: one incidence table + one label table."""
+    """The raw relational form: one incidence table + one label table.
+
+    ``incidence_pos`` optionally carries (edge_id, vertex_id, pos) with
+    the member's position within its edge — loaders populate it so the
+    interop writers can reproduce the reference's insertion-order member
+    layout byte-exactly (hypergraph.cpp:293-326 preserves input order).
+    Execution never needs it (edges are sets for LP semantics).
+    """
 
     incidence: DataFrame
     vertex_labels: DataFrame
     num_vertices: int
     num_edges: int
+    incidence_pos: DataFrame | None = None
 
 
 @dataclass

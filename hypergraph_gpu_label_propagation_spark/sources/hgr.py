@@ -38,13 +38,15 @@ HGR_VERSION = 1
 
 
 def save_hgr(frames: HypergraphFrames, path: str) -> None:
-    """Collects to the driver — small-graph interop only."""
-    edges = (
-        frames.incidence.groupBy("edge_id")
-        .agg(F.sort_array(F.collect_list("vertex_id")).alias("ms"))
-        .orderBy("edge_id")
-        .collect()
+    """Collects to the driver — small-graph interop only.  Member order
+    is preserved (insertion order) when the frames carry positions, so a
+    load->save roundtrip byte-compares with the reference writer's output
+    (hypergraph.cpp:293-326)."""
+    from hypergraph_gpu_label_propagation_spark.sources.json_loader import (
+        collect_edge_member_lists,
     )
+
+    edges = collect_edge_member_lists(frames)
     labels = np.zeros(frames.num_vertices, dtype=np.int32)
     for r in frames.vertex_labels.collect():
         labels[r["vertex_id"]] = r["label"]
@@ -79,10 +81,10 @@ def load_hgr(spark: SparkSession, path: str) -> HypergraphFrames:
             verts = np.frombuffer(f.read(8 * sz), dtype="<u8")
             if len(verts) < sz:
                 raise ValueError(f"Invalid hypergraph file (truncated vertices): {path}")
-            for v in verts:
+            for i, v in enumerate(verts):
                 if v >= nv:
                     raise ValueError("vertex id out of range (hypergraph.cpp:19-21)")
-                inc_rows.append((e, int(v)))
+                inc_rows.append((e, int(v), i))
         flag = f.read(1)
         labels = None
         if flag and flag[0] == 1:
@@ -91,7 +93,10 @@ def load_hgr(spark: SparkSession, path: str) -> HypergraphFrames:
                 raise ValueError(f"Invalid hypergraph file (truncated labels): {path}")
             labels = lab
 
-    incidence = spark.createDataFrame(inc_rows, "edge_id long, vertex_id long")
+    incidence_pos = spark.createDataFrame(
+        inc_rows, "edge_id long, vertex_id long, pos int"
+    )
+    incidence = incidence_pos.select("edge_id", "vertex_id")
     if labels is not None:
         lab_df = spark.createDataFrame(
             [(i, int(l)) for i, l in enumerate(labels)], "vertex_id long, label int"
@@ -100,7 +105,7 @@ def load_hgr(spark: SparkSession, path: str) -> HypergraphFrames:
         lab_df = spark.range(nv).select(
             F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
         )
-    return HypergraphFrames(incidence, lab_df, int(nv), int(ne))
+    return HypergraphFrames(incidence, lab_df, int(nv), int(ne), incidence_pos)
 
 
 def load_any(spark: SparkSession, path: str) -> HypergraphFrames:

@@ -48,8 +48,11 @@ def _frames_from_edges(
     num_vertices: int,
     labels: list[int] | None,
 ) -> HypergraphFrames:
-    inc_rows = [(e, int(v)) for e, members in enumerate(edges) for v in members]
-    incidence = spark.createDataFrame(inc_rows, "edge_id long, vertex_id long")
+    inc_rows = [
+        (e, int(v), i) for e, members in enumerate(edges) for i, v in enumerate(members)
+    ]
+    incidence_pos = spark.createDataFrame(inc_rows, "edge_id long, vertex_id long, pos int")
+    incidence = incidence_pos.select("edge_id", "vertex_id")
     if labels is not None:
         if len(labels) != num_vertices:
             raise ValueError(
@@ -62,7 +65,7 @@ def _frames_from_edges(
         lab = spark.range(num_vertices).select(
             F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
         )
-    return HypergraphFrames(incidence, lab, num_vertices, len(edges))
+    return HypergraphFrames(incidence, lab, num_vertices, len(edges), incidence_pos)
 
 
 def load_hypergraph_json(spark: SparkSession, path_or_text: str) -> HypergraphFrames:
@@ -125,9 +128,11 @@ def load_json_simple_distributed(spark: SparkSession, path: str) -> HypergraphFr
     nv_col = next(k for k in _SIMPLE_NV_KEYS if k in cols)
     num_vertices = int(raw.select(nv_col).collect()[0][0])
     exploded = raw.select(F.posexplode(edges_col).alias("edge_id", "_members"))
-    incidence = exploded.select(
-        "edge_id", F.explode("_members").alias("vertex_id")
-    ).select(F.col("edge_id").cast("long"), F.col("vertex_id").cast("long"))
+    incidence_pos = exploded.select(
+        F.col("edge_id").cast("long").alias("edge_id"),
+        F.posexplode("_members").alias("pos", "vertex_id"),
+    ).select("edge_id", F.col("vertex_id").cast("long"), F.col("pos").cast("int"))
+    incidence = incidence_pos.select("edge_id", "vertex_id")
     if "labels" in cols:
         labels = raw.select(F.posexplode("labels").alias("vertex_id", "label")).select(
             F.col("vertex_id").cast("long"), F.col("label").cast("int")
@@ -137,7 +142,7 @@ def load_json_simple_distributed(spark: SparkSession, path: str) -> HypergraphFr
             F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
         )
     num_edges = incidence.select("edge_id").distinct().count()
-    return HypergraphFrames(incidence, labels, num_vertices, num_edges)
+    return HypergraphFrames(incidence, labels, num_vertices, num_edges, incidence_pos)
 
 
 RICH_SCHEMA = (
@@ -206,9 +211,10 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
     num_vertices = idmap.count()
     if num_vertices == 0:
         raise ValueError("JSON: no vertices found in node-data/edge-dict")
-    incidence = members.join(F.broadcast(idmap), "sid").select(
-        "edge_id", F.col("vid").alias("vertex_id")
+    incidence_pos = members.join(F.broadcast(idmap), "sid").select(
+        "edge_id", F.col("vid").alias("vertex_id"), F.col("mpos").cast("int").alias("pos")
     )
+    incidence = incidence_pos.select("edge_id", "vertex_id")
 
     labels_len = raw.select(F.size("labels")).first()[0]
     if labels_len is not None and labels_len >= 0:
@@ -224,18 +230,45 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
             F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
         )
     num_edges = entries.count()
-    return HypergraphFrames(incidence, labels, num_vertices, num_edges)
+    return HypergraphFrames(incidence, labels, num_vertices, num_edges, incidence_pos)
+
+
+def collect_edge_member_lists(frames: HypergraphFrames) -> list:
+    """Edge member lists in edge order, for the interop writers.
+
+    When the frames carry member positions (every loader populates
+    ``incidence_pos``), members come back in INSERTION order — matching
+    the reference writer byte-for-byte (hypergraph.cpp:293-326 writes
+    input order).  For engine-built frames without positions, members
+    are sorted (edges are sets for LP semantics; documented fallback).
+    """
+    if frames.incidence_pos is not None:
+        rows = (
+            frames.incidence_pos.groupBy("edge_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vertex_id"))),
+                    lambda s: s["vertex_id"],
+                ).alias("ms")
+            )
+            .orderBy("edge_id")
+            .collect()
+        )
+    else:
+        rows = (
+            frames.incidence.groupBy("edge_id")
+            .agg(F.sort_array(F.collect_list("vertex_id")).alias("ms"))
+            .orderBy("edge_id")
+            .collect()
+        )
+    return rows
 
 
 def save_hypergraph_json(frames: HypergraphFrames, path: str) -> None:
     """Write the simple schema (collects to driver — interop util for
-    small graphs, mirroring save_to_file's role, hypergraph.cpp:293-326)."""
-    edges_rows = (
-        frames.incidence.groupBy("edge_id")
-        .agg(F.sort_array(F.collect_list("vertex_id")).alias("ms"))
-        .orderBy("edge_id")
-        .collect()
-    )
+    small graphs, mirroring save_to_file's role, hypergraph.cpp:293-326);
+    member order preserved when the frames carry positions."""
+    edges_rows = collect_edge_member_lists(frames)
     labels = [
         r["label"]
         for r in frames.vertex_labels.orderBy("vertex_id").collect()

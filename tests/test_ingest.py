@@ -220,3 +220,51 @@ def test_json_rich_distributed_validation(spark, tmp_path):
     )
     fr = load_json_rich_distributed(spark, p3)
     assert sorted(map(tuple, fr.vertex_labels.collect())) == [(0, 4), (1, 9)]
+
+
+def test_hgr_roundtrip_preserves_member_order(spark, tmp_path):
+    """Writers reproduce INSERTION member order (reference writer
+    hypergraph.cpp:293-326): save(load(f)) byte-compares even when edge
+    members are deliberately unsorted."""
+    import struct
+
+    import numpy as np
+
+    from hypergraph_gpu_label_propagation_spark.sources.hgr import (
+        HGR_MAGIC,
+        HGR_VERSION,
+        load_hgr,
+        save_hgr,
+    )
+
+    edges = [[3, 0, 2], [5, 1], [4, 4, 0]]  # unsorted, with a repeat
+    nv = 6
+    p1 = str(tmp_path / "a.hgr")
+    with open(p1, "wb") as f:
+        f.write(struct.pack("<IIQQ", HGR_MAGIC, HGR_VERSION, nv, len(edges)))
+        for ms in edges:
+            f.write(struct.pack("<Q", len(ms)))
+            f.write(np.asarray(ms, dtype="<u8").tobytes())
+        f.write(struct.pack("<B", 1))
+        f.write(np.arange(nv, dtype="<i4").tobytes())
+
+    fr = load_hgr(spark, p1)
+    p2 = str(tmp_path / "b.hgr")
+    save_hgr(fr, p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_json_roundtrip_preserves_member_order(spark, tmp_path):
+    import json as _json
+
+    from hypergraph_gpu_label_propagation_spark.sources.json_loader import (
+        save_hypergraph_json,
+    )
+
+    doc = {"num_vertices": 5, "edges": [[4, 1, 0], [2, 3]], "labels": [0, 1, 2, 3, 4]}
+    p1 = str(tmp_path / "a.json")
+    _json.dump(doc, open(p1, "w"))
+    fr = load_hypergraph_json(spark, p1)
+    p2 = str(tmp_path / "b.json")
+    save_hypergraph_json(fr, p2)
+    assert _json.load(open(p2)) == doc
