@@ -185,6 +185,21 @@ def q_lp_superstep(spark, sf_dir):
     )
 
 
+def q_lp_superstep_weighted(spark, sf_dir):
+    """README.md:153 weighted-vote variant (1/edge_size per incident-edge
+    vote in phase 2), flag-gated in the engine; unit weights stay the
+    normative default."""
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        lp_superstep,
+    )
+
+    hg = _freeze(spark, sf_dir)
+    out = lp_superstep(
+        hg, _labels0(spark, hg.num_vertices), MAX_LABELS, weighted=True
+    ).select("vertex_id", "label", "changed")
+    return out
+
+
 def q_lp_converged(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     res = label_propagation(hg, _labels0(spark, hg.num_vertices), max_labels=MAX_LABELS)
@@ -433,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_sizes": q_edge_sizes,
         "lp_edge_majority": q_lp_edge_majority,
         "lp_superstep": q_lp_superstep,
+        "lp_superstep_weighted": q_lp_superstep_weighted,
         "lp_converged": q_lp_converged,
         "connected_components": q_connected_components,
         "pagerank_2iter": q_pagerank_2iter,
@@ -636,6 +652,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT edge_id, label FROM emaj"
         ),
         "lp_superstep": _sql_lp_superstep_body(),
+        "lp_superstep_weighted": (
+            # phase 1 unchanged (unit-weight edge majority); phase 2
+            # weights each incident edge's vote by 1/edge_size, sums
+            # quantized to 9 decimals before the argmax (cross-engine
+            # FP-order immunity for mathematically-equal sums)
+            f"WITH {_SQL_INC}, {_SQL_UNI}, {_SQL_LAB0}, {_SQL_EDGE_MAJ}, "
+            "esz AS (SELECT edge_id, 1.0 / COUNT(*) AS w FROM inc GROUP BY edge_id), "
+            "votes AS (SELECT i.vertex_id, e.label, s.w FROM inc i "
+            "  JOIN emaj e USING (edge_id) JOIN esz s USING (edge_id) "
+            f"  WHERE e.label >= 0 AND e.label < {MAX_LABELS}), "
+            "wcnt AS (SELECT vertex_id, label, ROUND(SUM(w), 9) AS c "
+            "  FROM votes GROUP BY vertex_id, label), "
+            "vmaj AS (SELECT vertex_id, CAST(label AS INT) AS label FROM ("
+            "  SELECT vertex_id, label, ROW_NUMBER() OVER (PARTITION BY vertex_id "
+            "  ORDER BY c DESC, label ASC) AS rn FROM wcnt) WHERE rn = 1) "
+            "SELECT u.vertex_id, CAST(COALESCE(v.label, 0) AS INT) AS label, "
+            "CAST(COALESCE(v.label, 0) != l.label AS INT) AS changed "
+            "FROM uni u LEFT JOIN vmaj v USING (vertex_id) JOIN lab0 l USING (vertex_id)"
+        ),
         "lp_converged": _sql_lp_converged(),
         "pagerank_converged": _sql_pagerank_converged(),
         "connected_components": (

@@ -77,12 +77,52 @@ def vertex_majority_step(
     )
 
 
+def weighted_vertex_majority_step(
+    hg: Hypergraph,
+    edge_labels: DataFrame,
+    vertex_universe: DataFrame,
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Phase 2, WEIGHTED variant (reference README.md:153: "weight
+    1/edge_size per neighbor occurrence" — described in the README but
+    implemented by no reference backend; unit weights are normative, so
+    this is flag-gated and default-off).
+
+    Each incident hyperedge votes its label with weight 1/edge_size;
+    winner = smallest label attaining the max weighted count; degree-0
+    vertices get label 0.  Weighted sums are quantized to 9 decimals
+    before the argmax so mathematically-equal unit-fraction sums (e.g.
+    1/3 + 1/6 vs 1/2) compare equal regardless of FP summation order —
+    keeps the result deterministic across partitionings and engines.
+    """
+    w = hg.incidence_by_edge.groupBy("edge_id").agg(
+        (F.lit(1.0) / F.count("*")).alias("_w")
+    )
+    votes = (
+        hg.incidence_by_edge.join(edge_labels, "edge_id")
+        .join(w, "edge_id")
+        .select("vertex_id", "label", "_w")
+        .filter((F.col("label") >= 0) & (F.col("label") < max_labels))
+    )
+    counted = votes.groupBy("vertex_id", "label").agg(
+        F.round(F.sum("_w"), 9).alias("_c")
+    )
+    best = counted.groupBy("vertex_id").agg(
+        F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_neg"))).alias("_b")
+    )
+    maj = best.select("vertex_id", (-F.col("_b._neg")).cast("int").alias("_maj"))
+    return vertex_universe.join(maj, "vertex_id", "left").select(
+        "vertex_id", F.coalesce("_maj", F.lit(0)).cast("int").alias("label")
+    )
+
+
 def lp_superstep(
     hg: Hypergraph,
     vertex_labels: DataFrame,
     max_labels: int = DEFAULT_MAX_LABELS,
     strategy: str = "narrow",
     labels_in_range: bool = False,
+    weighted: bool = False,
 ) -> DataFrame:
     """One full superstep; returns (vertex_id, label, changed).
 
@@ -126,6 +166,16 @@ def lp_superstep(
             edge_labels = edge_universe.join(best_e, "edge_id", "left").select(
                 "edge_id", F.coalesce("_m", F.lit(0)).cast("int").alias("label")
             )
+    if weighted:
+        universe = vertex_labels.select("vertex_id")
+        new = weighted_vertex_majority_step(hg, edge_labels, universe, max_labels)
+        return vertex_labels.select(
+            "vertex_id", F.col("label").alias("_old")
+        ).join(new, "vertex_id").select(
+            "vertex_id",
+            "label",
+            (F.col("label") != F.col("_old")).cast("int").alias("changed"),
+        )
     gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select(
         "vertex_id", "label"
     )
@@ -189,13 +239,16 @@ def label_propagation(
     resume: bool = False,
     verbose: bool = False,
     strategy: str = "narrow",
+    weighted: bool = False,
 ) -> LPResult:
     """Run LP to convergence (reference loop openmp:58-158, defaults
     argparse.hpp:26-27: iterations=100, tolerance=1e-6).
 
     ``checkpoint_dir`` enables durable per-superstep snapshots (labels
     parquet + metrics jsonl) for mid-run resume; ``resume=True`` picks
-    up from the latest snapshot in that directory.
+    up from the latest snapshot in that directory.  ``weighted`` enables
+    the README.md:153 1/edge_size vote weights in phase 2 (default off —
+    unit weights are the normative reference semantics).
     """
     labels = init_labels if init_labels is not None else hg.vertex_labels
     labels = labels.select(
@@ -240,6 +293,7 @@ def label_propagation(
                     # second superstep (or after a resume, whose snapshot is
                     # phase-2 output) the sentinel path is dead code
                     labels_in_range=(step > start_step or (resume and start_step > 0)),
+                    weighted=weighted,
                 )
                 .observe(obs, F.sum("changed").alias("changes"))
                 .localCheckpoint(eager=True)

@@ -166,3 +166,38 @@ def test_empty_hypergraph_returns_zero_iterations(spark):
     assert res.converged
     assert res.labels.count() == 0
     hg.unpersist()
+
+
+def test_weighted_vote_flips_outcome_vs_unit(spark):
+    """README.md:153 weighted variant: a small edge (weight 1/2) outvotes
+    two large edges (1/6 each) that win under unit weights."""
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        lp_superstep,
+    )
+
+    # vertex 0 sits in edge 0 (size 2) and edges 1, 2 (size 6 each)
+    edges = [
+        [0, 1],                    # edge 0 -> majority label of {v0, v1}
+        [0, 2, 3, 4, 5, 6],        # edge 1
+        [0, 7, 8, 9, 10, 11],      # edge 2
+    ]
+    inc = incidence_from_edges(spark, edges)
+    hg = Hypergraph.freeze(spark, inc, num_vertices=12, num_edges=3, num_partitions=2)
+    # v1 labels 1 -> edge 0 majority = min(label of v0=2, v1=1) tie 1 each -> 1
+    # edges 1,2: members labeled 2 -> majority 2
+    init = [2, 1] + [2] * 10
+    labels = labels_df(spark, init)
+
+    unit = {r["vertex_id"]: r["label"] for r in lp_superstep(hg, labels, 10).collect()}
+    wtd = {
+        r["vertex_id"]: r["label"]
+        for r in lp_superstep(hg, labels, 10, weighted=True).collect()
+    }
+    # unit: v0 sees edge votes {1, 2, 2} -> 2 wins 2:1
+    assert unit[0] == 2
+    # weighted: 1 gets 1/2, 2 gets 1/6 + 1/6 = 1/3 -> 1 wins
+    assert wtd[0] == 1
+    # weighted LP still runs to convergence through the driver loop
+    res = label_propagation(hg, labels_df(spark, init), max_labels=10, weighted=True)
+    assert res.converged
+    hg.unpersist()
