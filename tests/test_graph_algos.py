@@ -106,3 +106,29 @@ def test_triangle_max_edge_size_cap(spark):
     assert triangle_count(hg, max_edge_size=3).collect()[0]["n_triangles"] == 1
     assert triangle_count(hg).collect()[0]["n_triangles"] == 4
     hg.unpersist()
+
+
+def test_cc_pointer_jumping_fewer_rounds_on_path(spark):
+    """Pointer jumping: same components as plain min-propagation on a
+    path hypergraph, in O(log diameter) instead of O(diameter) rounds."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 120  # path 0-1-2-...-119 as size-2 hyperedges
+    rows = [(e, e) for e in range(n - 1)] + [(e, e + 1) for e in range(n - 1)]
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc, num_vertices=n, num_edges=n - 1, num_partitions=4)
+
+    fast = connected_components(hg, pointer_jumping=True)
+    slow = connected_components(hg, pointer_jumping=False)
+    assert fast.converged and slow.converged
+    f = sorted(map(tuple, fast.components.collect()))
+    s = sorted(map(tuple, slow.components.collect()))
+    assert f == s
+    assert all(c == 0 for _, c in f)  # one path component rooted at 0
+    assert fast.iterations < slow.iterations / 2, (
+        f"jumping {fast.iterations} vs plain {slow.iterations}"
+    )
+    hg.unpersist()
