@@ -430,7 +430,9 @@ def q_gen_uniform(spark, sf_dir):
 def q_source_files_hypergraph(spark, sf_dir):
     """Flagship derivation (input_hint): synthetic source_files table ->
     repo/commit hyperedges with the sha256 provenance invariant enforced
-    during construction (rows-only check)."""
+    during construction.  Oracle-checked: dense ids are global key ranks
+    (sources/source_files.py::dense_ids), so DuckDB reproduces the whole
+    derivation with ROW_NUMBER() window twins."""
     from hypergraph_gpu_label_propagation_spark.sources.source_files import (
         derive_hypergraph_frames,
         synth_source_files,
@@ -438,7 +440,9 @@ def q_source_files_hypergraph(spark, sf_dir):
 
     sf = synth_source_files(spark, n_repos=10, files_per_repo=12, commits_per_repo=3)
     incidence, _, _ = derive_hypergraph_frames(sf, verify_sha256=True)
-    return incidence
+    return incidence.select(
+        F.col("edge_id").cast("long"), F.col("vertex_id").cast("long")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -595,6 +599,54 @@ it(k, vertex_id, rank, prev) AS (
 )
 SELECT vertex_id, ROUND(rank, 6) AS rank
 FROM it WHERE k = (SELECT MAX(k) FROM it)
+"""
+
+
+def _sql_source_files_hypergraph(
+    n_repos: int = 10,
+    files_per_repo: int = 12,
+    commits_per_repo: int = 3,
+    monorepo_factor: int = 10,
+) -> str:
+    """DuckDB twin of synth_source_files + derive_hypergraph_frames
+    (sources/source_files.py): regenerate the deterministic table with
+    the same expressions (commit = sha256, lang cycle, monorepo skew),
+    then reproduce the dense ids as ROW_NUMBER() global key ranks."""
+    mono_files = files_per_repo * monorepo_factor
+    rpm = mono_files * commits_per_repo
+    rpr = files_per_repo * commits_per_repo
+    cpr = commits_per_repo
+    total = rpm + (n_repos - 1) * rpr
+    return f"""
+WITH base AS (
+  SELECT i,
+    CASE WHEN i < {rpm} THEN 0 ELSE (i - {rpm}) // {rpr} + 1 END AS r,
+    CASE WHEN i < {rpm} THEN i // {cpr} ELSE ((i - {rpm}) % {rpr}) // {cpr} END AS p,
+    CASE WHEN i < {rpm} THEN i % {cpr} ELSE (i - {rpm}) % {cpr} END AS c
+  FROM (SELECT UNNEST(generate_series(0, {total - 1})) AS i)
+),
+src AS (
+  SELECT
+    'org' || CAST(r // 7 AS VARCHAR) || '/repo' || CAST(r AS VARCHAR) AS repo,
+    'src/dir' || CAST(p % 13 AS VARCHAR) || '/file' || CAST(p AS VARCHAR) || '.' ||
+      (['py','cpp','java','rs','go'])[CAST(p % 5 AS INT) + 1] AS path,
+    sha256('org' || CAST(r // 7 AS VARCHAR) || '/repo' || CAST(r AS VARCHAR)
+           || ':' || CAST(c AS VARCHAR)) AS commit
+  FROM base
+),
+vmap AS (SELECT repo, path, ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS vertex_id
+         FROM (SELECT DISTINCT repo, path FROM src)),
+remap AS (SELECT repo, ROW_NUMBER() OVER (ORDER BY repo) - 1 AS repo_eid
+          FROM (SELECT DISTINCT repo FROM src)),
+cmap AS (SELECT repo, commit, ROW_NUMBER() OVER (ORDER BY repo, commit) - 1 AS commit_eid
+         FROM (SELECT DISTINCT repo, commit FROM src)),
+nr AS (SELECT COUNT(*) AS n FROM remap),
+inc_repo AS (SELECT DISTINCT e.repo_eid AS edge_id, v.vertex_id
+             FROM src s JOIN vmap v USING (repo, path) JOIN remap e USING (repo)),
+inc_commit AS (SELECT DISTINCT c.commit_eid + (SELECT n FROM nr) AS edge_id, v.vertex_id
+               FROM src s JOIN vmap v USING (repo, path) JOIN cmap c USING (repo, commit))
+SELECT CAST(edge_id AS BIGINT) AS edge_id, CAST(vertex_id AS BIGINT) AS vertex_id
+FROM (SELECT * FROM inc_repo UNION ALL SELECT * FROM inc_commit)
 """
 
 
@@ -858,4 +910,6 @@ def oracle_sql() -> dict[str, str]:
     # the streaming query in complete output mode emits every window, so
     # its result equals the batch twin's — same oracle verifies both
     oracles["events_stream"] = oracles["events_window"]
+    # flagship derivation: fully regenerated + re-derived inside DuckDB
+    oracles["source_files_hypergraph"] = _sql_source_files_hypergraph()
     return oracles

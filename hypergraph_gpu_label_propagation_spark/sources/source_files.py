@@ -15,11 +15,11 @@ This module provides:
   records;
 - vertex/edge id densification via hash-then-rank, all shuffle-local.
 
-Scale notes: vertex ids are assigned by ``xxhash64(repo, path)``
-uniqueness then ``row_number`` over a hash-bucketed window — at real
-scale this is the standard two-step dense-id assignment (per-bucket
-row_number + bucket offset via a tiny broadcast of bucket counts), NOT
-a single global window; implemented that way here.
+Scale notes: vertex ids are dense ranks of the (repo, path) key, built
+with the standard two-step distributed dense-rank (range partition ->
+per-range row_number -> broadcast cumulative offsets), NOT a single
+global window; the resulting ids equal ``ROW_NUMBER() OVER (ORDER BY
+key)``, which makes the whole derivation DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -75,7 +75,9 @@ def synth_source_files(
                     F.lit("/repo"), F.col("r").cast("string"))
     path = F.concat(F.lit("src/dir"), (F.col("p") % 13).cast("string"),
                     F.lit("/file"), F.col("p").cast("string"), F.lit("."), lang)
-    commit = F.sha1(F.concat(repo, F.lit(":"), F.col("c").cast("string")))
+    # sha2-256 (not sha1): an opaque deterministic commit id that DuckDB
+    # can reproduce (sha256), keeping the whole derivation oracle-checkable
+    commit = F.sha2(F.concat(repo, F.lit(":"), F.col("c").cast("string")), 256)
     body = F.sha2(
         F.concat(F.lit(f"seed{seed}:"), repo, F.lit("/"), path, F.lit("@"),
                  F.col("c").cast("string")),
@@ -93,17 +95,20 @@ def dense_ids(df: DataFrame, cols: list[str], out: str, buckets: int = 256) -> D
     """Assign dense ids 0..n-1 to distinct `cols` tuples, deterministically
     ordered by the tuple itself.
 
-    Two-step distributed dense-rank: per-bucket ``row_number`` (bucket =
-    hash of the key) plus broadcast bucket offsets — avoids the
-    single-partition global window at scale.  Ordering inside buckets is
-    by key, and bucket offsets are by bucket id, so ids are stable and
-    partition-count independent (NOT first-seen order; order is by
-    (bucket, key), which is deterministic for a given input set).
+    Two-step distributed dense-rank: range-partition the distinct keys
+    (ranges are key-ordered), per-range ``row_number``, plus a broadcast
+    of cumulative range offsets — avoids the single-partition global
+    window at scale.  Because the total order is by key alone, ids are
+    independent of partition count AND range boundaries, and an SQL
+    engine reproduces them with ``ROW_NUMBER() OVER (ORDER BY key)`` —
+    which is how the DuckDB oracle twin checks this path.
     """
-    distinct = df.select(*cols).distinct()
-    bucket = F.abs(F.xxhash64(*cols)) % buckets
+    distinct = df.select(*cols).distinct().repartitionByRange(buckets, *cols)
     w = Window.partitionBy("_b").orderBy(*cols)
-    ranked = distinct.withColumn("_b", bucket).withColumn("_rn", F.row_number().over(w) - 1)
+    ranked = (
+        distinct.withColumn("_b", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w) - 1)
+    )
     counts = ranked.groupBy("_b").agg(F.count("*").alias("_n"))
     woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select("_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))

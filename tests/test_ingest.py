@@ -162,7 +162,7 @@ def test_source_files_determinism(spark):
     a = synth_source_files(spark, 3, 4, 2).orderBy("repo", "path", "commit").collect()
     b = synth_source_files(spark, 3, 4, 2).orderBy("repo", "path", "commit").collect()
     assert a == b
-    assert all(len(r["commit"]) == 40 for r in a)  # sha1 hex commits
+    assert all(len(r["commit"]) == 64 for r in a)  # sha256 hex commits (DuckDB-reproducible)
 
 
 def test_json_rich_distributed_parity(spark, tmp_path):
