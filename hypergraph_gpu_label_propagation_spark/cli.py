@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="lp", help="which analytics kernel to run")
     p.add_argument("-i", "--iterations", type=int, default=100)
     p.add_argument("-t", "--tolerance", type=float, default=1e-6)
+    p.add_argument("--weighted", action="store_true",
+                   help="LP phase-2 votes weighted 1/edge_size "
+                        "(reference README variant; unit weights default)")
     p.add_argument("--load", help="load JSON/HGR1 instead of generating")
     p.add_argument("--save", help="write incidence+labels parquet here")
     p.add_argument("--checkpoint-dir", help="durable per-superstep snapshots")
@@ -138,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         res = label_propagation(
             hg, max_labels=max_labels, max_iterations=args.iterations,
             tolerance=args.tolerance, checkpoint_dir=args.checkpoint_dir,
-            resume=args.resume, verbose=True,
+            resume=args.resume, verbose=True, weighted=args.weighted,
         )
         out_df, iterations, converged = res.labels, res.iterations, res.converged
         extra = {

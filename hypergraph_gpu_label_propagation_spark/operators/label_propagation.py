@@ -308,7 +308,17 @@ def label_propagation(
             if verbose and iterations % 10 == 0:
                 print(f"[lp] superstep {iterations}: changes={changes}")
             if checkpoint_dir and (iterations % checkpoint_every == 0):
-                labels.write.mode("overwrite").parquet(_labels_path(checkpoint_dir, iterations))
+                from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
+                    write_partition_manifest,
+                )
+
+                snap = _labels_path(checkpoint_dir, iterations)
+                labels.write.mode("overwrite").parquet(snap)
+                # frontier size (= changes) + per-partition lineage ride
+                # the snapshot (north rule resumability metadata)
+                write_partition_manifest(
+                    snap, iterations, {"op": "lp", "frontier": int(changes)}
+                )
                 with open(os.path.join(checkpoint_dir, "metrics.jsonl"), "a") as f:
                     f.write(json.dumps(m.__dict__) + "\n")
             if changes / nv < tolerance:  # strict <, post-update (openmp:148-154)

@@ -24,11 +24,36 @@ def snapshot_path(checkpoint_dir: str, prefix: str, superstep: int) -> str:
     return os.path.join(checkpoint_dir, f"{prefix}_superstep={superstep:05d}")
 
 
+def write_partition_manifest(path: str, superstep: int, extra: dict | None = None) -> None:
+    """Per-partition lineage record for a written snapshot (north rule:
+    per-partition label state + lineage metrics per superstep): one entry
+    per part file with its size, derived from the files just written — no
+    extra Spark job.  The leading underscore keeps the manifest invisible
+    to spark.read.parquet."""
+    parts = sorted(
+        (f, os.path.getsize(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
+    meta = {
+        "superstep": superstep,
+        "num_partitions": len(parts),
+        "total_bytes": sum(b for _, b in parts),
+        "partitions": [{"file": f, "bytes": b} for f, b in parts],
+    }
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(path, "_partitions.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def write_snapshot(
     df: DataFrame, checkpoint_dir: str, prefix: str, superstep: int,
     metrics: dict | None = None,
 ) -> None:
-    df.write.mode("overwrite").parquet(snapshot_path(checkpoint_dir, prefix, superstep))
+    path = snapshot_path(checkpoint_dir, prefix, superstep)
+    df.write.mode("overwrite").parquet(path)
+    write_partition_manifest(path, superstep, {"op": prefix})
     if metrics is not None:
         with open(os.path.join(checkpoint_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(metrics) + "\n")
