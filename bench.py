@@ -42,8 +42,11 @@ HEADLINE = [
     "minhash_lsh",
     "simhash",
     "cosine_topk",
+    "embedding_near_dup",
     "text_quality",
     "agg_pushdown",
+    "events_stream",
+    "source_files_hypergraph",
 ]
 
 
