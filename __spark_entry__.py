@@ -392,6 +392,15 @@ def q_events_stream(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_events_sessions(spark, sf_dir):
+    """Per-user gap-based sessionization via session_window (4h gap) —
+    the batch twin of streaming/events.py::stream_events_sessions; the
+    DuckDB oracle is the classic lag/cumsum islands SQL."""
+    from hypergraph_gpu_label_propagation_spark.streaming.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="4 hours")
+
+
 def q_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # l_shipdate is TIMESTAMP_NTZ in the parquet: wall-clock semantics,
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_window": q_events_window,
         "events_stream": q_events_stream,
+        "events_sessions": q_events_sessions,
         "agg_pushdown": q_agg_pushdown,
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
@@ -891,6 +901,23 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, "
             "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            # gap-based islands: new session when the gap to the previous
+            # event (per user) exceeds 4h; session_end = last event + gap
+            "WITH x AS (SELECT user_id, ts, value, "
+            "  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "          > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id "
+            "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(date_trunc('second', MAX(ts) + INTERVAL 4 HOUR), "
+            "  '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "agg_pushdown": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "

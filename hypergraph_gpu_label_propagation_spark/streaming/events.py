@@ -50,10 +50,103 @@ def stream_events_window(
 
 def stream_incidence_degrees(spark: SparkSession, path: str) -> DataFrame:
     """Running (vertex_id, degree) over an append-only incidence stream
-    (complete-mode aggregation; at scale this would be foreachBatch
-    MERGE into the degree table)."""
+    (complete-mode aggregation; the durable scale path is
+    :func:`run_degrees_merge`)."""
     inc = spark.readStream.schema(INCIDENCE_SCHEMA).parquet(path)
     return inc.groupBy("vertex_id").agg(F.count("*").alias("degree"))
+
+
+def stream_events_sessions(
+    spark: SparkSession,
+    path: str,
+    gap: str = "4 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-user event sessionization with ``session_window`` (gap-based
+    merging windows; events within ``gap`` of the running session end
+    extend it).  The same plan runs batch (q_events_sessions contract
+    query, DuckDB islands-SQL oracle) and streaming (append mode emits a
+    session once the watermark passes its end).  Timestamps truncate to
+    seconds in the output so wall-clock strings compare across engines
+    regardless of sub-second formatting."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return sessionize(events.withWatermark("ts", watermark), gap)
+
+
+def sessionize(events: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """The shared batch/streaming sessionization plan."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("user_id").cast("long"),
+            F.date_trunc("second", F.col("w.start")).cast("string").alias("session_start"),
+            F.date_trunc("second", F.col("w.end")).cast("string").alias("session_end"),
+            F.col("n_events").cast("long"),
+            "sum_value",
+        )
+    )
+
+
+def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> DataFrame:
+    """Durable incremental degree maintenance — the foreachBatch MERGE
+    pattern: each micro-batch's per-vertex delta is merged into a parquet
+    state table via write-to-temp + atomic directory swap, with the last
+    merged batch id recorded for idempotent replay (a restarted query
+    re-delivering a batch must not double-count).
+
+    At cluster scale the swap becomes a MERGE INTO on an Iceberg/Delta
+    table; the batch-id guard is exactly Structured Streaming's
+    transactional-sink contract (batchId + idempotent commit).
+    Returns the final state as a batch DataFrame.
+    """
+    import os
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    cur_path = os.path.join(state_dir, "current")
+    marker = os.path.join(state_dir, "_last_batch")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # replayed batch — already merged
+        delta = batch_df.groupBy("vertex_id").agg(F.count("*").alias("degree"))
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("vertex_id")
+                .agg(F.sum("degree").cast("long").alias("degree"))
+            )
+        else:
+            merged = delta.select("vertex_id", F.col("degree").cast("long"))
+        tmp = os.path.join(state_dir, f"tmp-{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
+        old = cur_path + ".old"
+        if os.path.exists(cur_path):
+            os.rename(cur_path, old)
+        os.rename(tmp, cur_path)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    inc = (
+        spark.readStream.schema(INCIDENCE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per arriving file
+        .parquet(stream_path)
+    )
+    q = (
+        inc.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(cur_path)
 
 
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:

@@ -55,3 +55,62 @@ def test_stream_incidence_degrees(spark, tmp_path):
         for r in inc.groupBy("vertex_id").agg(F.count("*").alias("degree")).collect()
     }
     assert got == want
+
+
+def test_stream_sessions_matches_batch_except_open_sessions(spark, events_dir):
+    """Append-mode session_window emits exactly the sessions whose end the
+    watermark has passed; the withheld remainder must be the tail
+    sessions (end within the final watermark horizon)."""
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        stream_events_sessions,
+    )
+
+    out = run_to_completion(
+        stream_events_sessions(spark, events_dir, gap="4 hours", watermark="1 day"),
+        "t_ev_sess",
+        "append",
+    )
+    batch = entrymod.q_events_sessions(spark, SF)
+    srows = {tuple(r) for r in out.collect()}
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows < brows
+    # every withheld session ends within 1 day of the max event ts
+    max_end = max(r[2] for r in brows)
+    for r in brows - srows:
+        assert r[2] >= max(r[2] for r in srows), (
+            f"withheld session {r} is older than an emitted one"
+        )
+    assert len(brows - srows) < len(brows) * 0.2  # most sessions finalized
+
+
+def test_degrees_merge_incremental_and_idempotent(spark, tmp_path):
+    """foreachBatch MERGE state: two files arriving as separate
+    micro-batches produce exactly the batch ground truth, and a re-run
+    over the same checkpoint (replayed batches) doesn't double-count."""
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        run_degrees_merge,
+    )
+
+    inc = entrymod._incidence(spark, SF)
+    a, b = inc.filter("edge_id % 2 = 0"), inc.filter("edge_id % 2 = 1")
+    d = tmp_path / "inc_files"
+    d.mkdir()
+    a.coalesce(1).write.mode("overwrite").parquet(str(d / "f0.parquet"))
+    b.coalesce(1).write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    # flatten: the file source wants files in one dir
+    import glob
+    import shutil as sh
+
+    sdir = tmp_path / "stream_in"
+    sdir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "*" / "part-*.parquet")))):
+        sh.copy(f, sdir / f"file{i}.parquet")
+
+    state = str(tmp_path / "state")
+    got = run_degrees_merge(spark, str(sdir), state)
+    want = inc.groupBy("vertex_id").agg(F.count("*").alias("degree"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # replay: same checkpoint, no new files -> state unchanged
+    again = run_degrees_merge(spark, str(sdir), state)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in want.collect()}
