@@ -376,17 +376,13 @@ def embedding_near_dup_pairs(
     near_dup_pairs (MinHash) so both near-dup paths survive 100 TB.
     """
     from hypergraph_gpu_label_propagation_spark.operators.similarity import (
-        signlsh_buckets,
+        signlsh_band_buckets,
     )
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    bands = None
-    for b in range(num_bands):
-        one = signlsh_buckets(
-            vecs, id_col, vec_col, planes_per_band, dim,
-            first_plane=b * planes_per_band,
-        ).select(F.col(id_col), F.lit(b).alias("band"), "bucket")
-        bands = one if bands is None else bands.unionByName(one)
+    # all bands in ONE corpus scan (signlsh_band_buckets), not num_bands
+    # unioned scans
+    bands = signlsh_band_buckets(vecs, id_col, vec_col, dim, num_bands, planes_per_band)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     bb = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

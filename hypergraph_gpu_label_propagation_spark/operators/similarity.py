@@ -120,6 +120,33 @@ def bucket_expr(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     )
 
 
+def signlsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) for ALL bands in ONE scan of the corpus: the
+    per-band bucket expressions evaluate side by side in a single
+    projection, then explode — at 100 TB this is one pass over the
+    vectors instead of ``num_bands`` unioned scans.  Band b uses globally
+    numbered planes [b*planes_per_band, (b+1)*planes_per_band)."""
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            bucket_expr(
+                F.col(vec_col), plane_matrix(planes_per_band, dim, b * planes_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*per_band)).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
 def signlsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
