@@ -284,6 +284,25 @@ def q_text_langid(spark, sf_dir):
     )
 
 
+def q_text_tokens(spark, sf_dir):
+    """Token counting three ways (prompt checklist): whitespace tokens,
+    regex pre-tokenizer tokens, and a BPE-ish ceil(len/4) subword
+    estimate per regex token."""
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        bpe_token_estimate,
+        regex_tokens,
+        token_count,
+    )
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"),
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        F.size(regex_tokens(t)).cast("long").alias("n_regex_tokens"),
+        bpe_token_estimate(t).cast("long").alias("bpe_estimate"),
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long"), fingerprint(F.col("text")).alias("fp")
@@ -472,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -815,6 +835,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
             "COALESCE(w.lang_guess, 'und') AS lang_guess "
             "FROM documents d LEFT JOIN win w USING (doc_id)"
+        ),
+        "text_tokens": (
+            r"WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, "
+            r"  regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS rt "
+            "FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(ws) AS BIGINT) AS n_ws_tokens, "
+            "CAST(len(rt) AS BIGINT) AS n_regex_tokens, "
+            "CAST(list_sum(list_transform(rt, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) "
+            "  AS BIGINT) AS bpe_estimate FROM t"
         ),
         "text_fingerprint": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -66,6 +66,29 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# word runs / digit runs / single punctuation marks — deliberately
+# character-class-only so Java regex (Spark) and RE2 (DuckDB) agree
+REGEX_TOKEN_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def regex_tokens(text: Column | str) -> Column:
+    """Regex tokenization: lowercase word/number runs plus isolated
+    punctuation — the usual pre-tokenizer shape in front of a BPE."""
+    return F.regexp_extract_all(F.lower(text), F.lit(REGEX_TOKEN_PATTERN), 0)
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Deterministic BPE-ish subword count estimate: each regex token
+    contributes ceil(len/4) subwords (~4 chars/token, the usual BPE
+    rule of thumb).  An estimator for length budgeting at corpus scale,
+    not a real tokenizer (no vocab in this environment)."""
+    return F.aggregate(
+        regex_tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set."""

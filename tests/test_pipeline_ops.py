@@ -241,3 +241,29 @@ def test_near_dup_pipeline_end_to_end(spark, docs):
     assert pairs.get((0, 1)) == 1.0          # exact dup recalled by LSH, verified exact
     assert all(j >= 0.5 for j in pairs.values())
     assert (0, 3) not in pairs
+
+
+def test_regex_and_bpe_token_counts(spark):
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        bpe_token_estimate,
+        regex_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world! x2"), (1, "internationalization")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["rt"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            regex_tokens(F.col("text")).alias("rt"),
+            bpe_token_estimate(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    # 'hello' ',' 'world' '!' 'x2' -> 5 regex tokens
+    assert rows[0][0] == ["hello", ",", "world", "!", "x2"]
+    # ceil(5/4)+1+ceil(5/4)+1+ceil(2/4) = 2+1+2+1+1 = 7
+    assert rows[0][1] == 7
+    # one 20-char word -> ceil(20/4) = 5 subwords
+    assert rows[1][1] == 5
