@@ -196,3 +196,21 @@ def oracle_triangle_count(edges: Edges, num_vertices: int) -> int:
                 continue
             count += len(adj[u] & adj[v] & set(range(v + 1, num_vertices)))
     return count
+
+
+def oracle_weighted_vertex_majority(
+    edges: Edges, edge_labels: np.ndarray, num_vertices: int, max_labels: int = 10
+) -> np.ndarray:
+    """Weighted phase 2 (reference README.md:153 variant, implemented by
+    no reference backend): each incident edge votes its label with weight
+    1/edge_size; weighted counts quantized to 9 decimals before the
+    argmax (mirrors operators/label_propagation.py
+    weighted_vertex_majority_step's FP-order immunity)."""
+    counts = np.zeros((num_vertices, max_labels), dtype=np.float64)
+    for e, members in enumerate(edges):
+        lab = int(edge_labels[e])
+        if 0 <= lab < max_labels:
+            w = 1.0 / len(members)
+            for v in members:
+                counts[v, lab] += w
+    return np.round(counts, 9).argmax(axis=1).astype(np.int32)

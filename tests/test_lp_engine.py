@@ -201,3 +201,31 @@ def test_weighted_vote_flips_outcome_vs_unit(spark):
     res = label_propagation(hg, labels_df(spark, init), max_labels=10, weighted=True)
     assert res.converged
     hg.unpersist()
+
+
+def test_weighted_superstep_matches_numpy_oracle(spark):
+    """Weighted phase-2 parity vs the NumPy oracle on seeded random
+    hypergraphs (3 seeds x 60 vertices)."""
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        lp_superstep,
+    )
+    from hypergraph_gpu_label_propagation_spark.oracle.numpy_ref import (
+        oracle_edge_majority,
+        oracle_weighted_vertex_majority,
+    )
+
+    for seed in (3, 17, 51):
+        nv = 60
+        edges = _rng_hypergraph(seed, nv=nv, ne=120)
+        rng = np.random.default_rng(seed + 1)
+        init = rng.integers(0, 10, size=nv).astype(np.int32)
+        hg = _freeze(spark, edges, nv)
+        got = _collect_labels(
+            lp_superstep(hg, labels_df(spark, init.tolist()), 10, weighted=True)
+            .select("vertex_id", "label"),
+            nv,
+        )
+        emaj = oracle_edge_majority(edges, init, 10)
+        want = oracle_weighted_vertex_majority(edges, emaj, nv, 10)
+        assert got.tolist() == want.tolist(), f"seed {seed}"
+        hg.unpersist()
