@@ -358,6 +358,29 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cos_sim")
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing under the driver gate: synthetic binary assets
+    -> Arrow mapInPandas pseudo-decode (FAKE backend; REAL is the
+    documented codec stub).  The DuckDB twin re-derives the metadata from
+    sha256 of the payload's hex, so the full binary->metadata path is
+    value-hash-checked."""
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        decode_assets,
+        synth_assets,
+    )
+
+    dec = decode_assets(synth_assets(spark, n=64))
+    return dec.select(
+        F.col("asset_id").cast("long"),
+        "kind",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("n_frames").cast("int"),
+        F.col("sample_rate").cast("int"),
+        "duration_ms",
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -499,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
         "events_stream": q_events_stream,
         "events_sessions": q_events_sessions,
@@ -925,6 +949,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings eb ON eb.vec_id = c.id_b "
             "WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], "
             "  eb.embedding::DOUBLE[]), 6) >= 0.25"
+        ),
+        "multimodal_decode": (
+            # synth_assets twin: payload = sha256 digest repeated 1+i%4;
+            # FAKE decode derives metadata from sha256(hex(payload)) —
+            # hex(A repeated n) = hex(A) repeated n, so no blob hashing
+            # is needed (DuckDB sha256 is VARCHAR-only)
+            "WITH a AS (SELECT i AS asset_id, "
+            "  (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS kind, "
+            "  repeat(sha256('asset:42:' || CAST(i AS VARCHAR)), "
+            "         1 + CAST(i % 4 AS INT)) AS hexdata "
+            "  FROM (SELECT UNNEST(generate_series(0, 63)) AS i)), "
+            "h AS (SELECT asset_id, kind, sha256(hexdata) AS hx FROM a), "
+            "b AS (SELECT asset_id, kind, "
+            "  ('0x' || substr(hx, 1, 2))::INT AS h0, "
+            "  ('0x' || substr(hx, 3, 2))::INT AS h1, "
+            "  ('0x' || substr(hx, 5, 2))::INT AS h2, "
+            "  ('0x' || substr(hx, 7, 2))::INT AS h3 FROM h) "
+            "SELECT CAST(asset_id AS BIGINT) AS asset_id, kind, "
+            "CAST(64 + h0 % 192 AS INT) AS width, "
+            "CAST(64 + h1 % 192 AS INT) AS height, "
+            "CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + h2 % 300 END AS INT) AS n_frames, "
+            "CAST(CASE WHEN kind = 'image' THEN 0 "
+            "  ELSE 8000 + (h3 % 5) * 8000 END AS INT) AS sample_rate, "
+            "CASE WHEN kind = 'image' THEN 0.0::DOUBLE "
+            "  ELSE ROUND((1 + h2 % 300) * 33.37::DOUBLE, 2) END AS duration_ms "
+            "FROM b"
         ),
         "events_window": (
             "SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') "

@@ -50,8 +50,11 @@ class DecodeBackend(str, enum.Enum):
 
 
 def _fake_decode_row(kind: str, data: bytes) -> tuple[int, int, int, int, float]:
-    """Deterministic pseudo-decode: metadata from sha256(data)."""
-    h = hashlib.sha256(data).digest()
+    """Deterministic pseudo-decode: metadata from sha256 of the payload's
+    hex encoding (hex rather than raw bytes so the DuckDB oracle — whose
+    sha256 is VARCHAR-only — can reproduce the derivation; hex is
+    injective, so it's still a pure function of the binary content)."""
+    h = hashlib.sha256(data.hex().encode()).digest()
     w = 64 + h[0] % 192
     hgt = 64 + h[1] % 192
     frames = 1 if kind == "image" else 1 + h[2] % 300
@@ -99,7 +102,7 @@ def extract_features(
                 raise NotImplementedError("plug the real feature extractor in here")
             feats = []
             for d in pdf["data"]:
-                h = hashlib.sha256(bytes(d)).digest()
+                h = hashlib.sha256(bytes(d).hex().encode()).digest()
                 feats.append(
                     (np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8) / 255.0)
                     .astype(np.float32)
