@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stage progress bars out of stdout/stderr: they interleave
+        # \r fragments into bench/validate output lines
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # keep catalog artifacts (managed-table warehouse, derby metastore)

@@ -3,6 +3,8 @@ exactness — the scale properties the engine is designed around."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.plans.inspect import (
@@ -97,3 +99,25 @@ def test_salted_join_rejects_outer(spark):
     with _pytest.raises(ValueError, match="inner"):
         salted_join(big, small, "k", salt=4, how="full")
     assert salted_join(big, small, "k", salt=4, how="left").count() == 1
+
+
+def test_loop_conf_restores_on_error(spark):
+    from hypergraph_gpu_label_propagation_spark.plans.tuning import (
+        loop_conf,
+        loop_partitions,
+    )
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    with pytest.raises(RuntimeError):
+        with loop_conf(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+    # the data-sized formula: floor, rows-proportional, cores cap
+    assert loop_partitions(None, 32) == 32
+    assert loop_partitions(100, 32) == 8
+    assert loop_partitions(20_000_000, 32) == 40
+    assert loop_partitions(10**12, 32) == 128
