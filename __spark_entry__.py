@@ -342,6 +342,27 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_signlsh_topk(spark, sf_dir):
+    """ANN scale path under the driver gate: sign-LSH buckets (8 md5
+    Rademacher planes) + hamming-1 multiprobe + exact cosine re-rank on
+    candidates only.  Fully deterministic, so the DuckDB twin reproduces
+    buckets, probes, and ranking exactly."""
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+        signlsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return signlsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, num_planes=8,
+        multiprobe=True, dim=64,
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos_sim",
+        F.col("rank").cast("long"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup at scale: banded sign-LSH candidates (4 bands x
     8 deterministic md5 Rademacher planes) + exact cosine verify on the
@@ -521,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "signlsh_topk": q_signlsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
@@ -917,6 +939,40 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q, embeddings e WHERE e.vec_id != q.query_id), "
             "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
             "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM pairs) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
+            "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+        ),
+        "signlsh_topk": (
+            # single-band sign-LSH buckets (planes 0..7), hamming-1
+            # multiprobe (bucket XOR each bit), exact re-rank on candidates
+            "WITH planes AS MATERIALIZED ("
+            "  SELECT p.p, d.d, "
+            "    CASE WHEN ('0x' || substr(md5('p' || p.p || ':d' || d.d), 1, 15))::BIGINT "
+            "      % 2 = 0 THEN 1.0 ELSE -1.0 END AS s "
+            "  FROM (SELECT UNNEST(generate_series(0, 7)) AS p) p, "
+            "       (SELECT UNNEST(generate_series(0, 63)) AS d) d), "
+            "vex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS x, "
+            "  UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings), "
+            "buckets AS MATERIALIZED (SELECT vec_id, "
+            "  SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket FROM ("
+            "    SELECT v.vec_id, p.p, SUM(v.x * p.s) AS dot "
+            "    FROM vex v JOIN planes p USING (d) GROUP BY v.vec_id, p.p) "
+            "  GROUP BY vec_id), "
+            "qb AS (SELECT b.vec_id AS query_id, UNNEST([b.bucket, "
+            "    xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4), xor(b.bucket, 8), "
+            "    xor(b.bucket, 16), xor(b.bucket, 32), xor(b.bucket, 64), "
+            "    xor(b.bucket, 128)]) AS bucket "
+            "  FROM buckets b WHERE b.vec_id < 8), "
+            "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id "
+            "  FROM qb q JOIN buckets c USING (bucket) WHERE c.vec_id != q.query_id), "
+            "scored AS (SELECT DISTINCT c.query_id, c.neighbor_id, "
+            "  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "    b.embedding::DOUBLE[]), 6) AS cos_sim "
+            "  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id "
+            "  JOIN embeddings b ON b.vec_id = c.neighbor_id), "
+            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "SELECT CAST(query_id AS BIGINT) AS query_id, "
             "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
             "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
