@@ -450,7 +450,9 @@ def q_events_stream(spark, sf_dir):
         )
         # memory sink holds the rows; localCheckpoint detaches the plan
         # from the temp files/table so cleanup below is safe
-        return out.localCheckpoint(eager=True)
+        result = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)  # don't accumulate sink views
+        return result
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
