@@ -303,6 +303,23 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic leakage-free train/val/test split + hash sampling:
+    assignment is a pure function of (doc_id, seed) via the md5 60-bit
+    hash, so it is stable across runs/engines/retries (rand() is not)."""
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    sampled = hash_sample(split, "doc_id", 0.5, seed=7).select(
+        F.col("doc_id").cast("long"), "split"
+    )
+    return sampled
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long"), fingerprint(F.col("text")).alias("fp")
@@ -538,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
+        "doc_split": q_doc_split,
         "text_fingerprint": q_text_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -883,6 +901,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
             "COALESCE(w.lang_guess, 'und') AS lang_guess "
             "FROM documents d LEFT JOIN win w USING (doc_id)"
+        ),
+        "doc_split": (
+            # same md5 60-bit bucket hash (seed 42 for the split, 7 for
+            # sampling); integer thresholds: test < 100000, train < 900000
+            # (names sorted: test, train, val), sample keeps bucket7 < 500000
+            "WITH h AS (SELECT doc_id, "
+            "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT "
+            "    % 1000000 AS b42, "
+            "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT "
+            "    % 1000000 AS b7 "
+            "  FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN b42 < 100000 THEN 'test' "
+            "     WHEN b42 < 900000 THEN 'train' ELSE 'val' END AS split "
+            "FROM h WHERE b7 < 500000"
         ),
         "text_tokens": (
             r"WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, "

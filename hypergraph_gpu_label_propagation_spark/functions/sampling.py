@@ -1,0 +1,72 @@
+"""Deterministic corpus sampling / splitting for training-data pipelines.
+
+Both ops key on a 60-bit md5-derived uniform hash of the row's id (the
+same cross-engine primitive the dedup family uses), NOT on rand(): the
+assignment is a pure function of (id, seed), so it is reproducible
+across runs, engines, partitionings, and retries — the property a
+training pipeline actually needs from "random" sampling at 100 TB
+(rand() changes under task retry; hashes don't).
+
+DuckDB twin of the hash: ('0x' || substr(md5(...), 1, 15))::BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BUCKETS = 1_000_000
+
+
+def _bucket_hash(id_col: Column, seed: int) -> Column:
+    """Uniform integer bucket in [0, 1e6) from md5(id:seed) — 60-bit
+    prefix, identical in any engine with md5.  Thresholds compare as
+    INTEGERS (fraction * 1e6, rounded) so boundaries are exact: float
+    cumulative sums like 0.1 + 0.8 land a hair off 0.9 and would flip
+    rows whose hash sits exactly on the boundary."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _HASH_BUCKETS
+
+
+def _threshold(fraction: float) -> int:
+    return int(round(fraction * _HASH_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by id hash.
+    Stable under re-runs, retries, and engine changes (unlike df.sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket_hash(F.col(id_col), seed) < F.lit(_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label ('train'/'val'/'test'/...) from
+    cumulative ``weights`` (must sum to ~1) over the id hash — the
+    standard leakage-free dataset split (same id always lands in the
+    same split, regardless of when or where it is processed)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    h = _bucket_hash(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)  # deterministic boundary order
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -267,3 +267,33 @@ def test_regex_and_bpe_token_counts(spark):
     assert rows[0][1] == 7
     # one 20-char word -> ceil(20/4) = 5 subwords
     assert rows[1][1] == 5
+
+
+def test_hash_split_and_sample_deterministic(spark, docs):
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    s1 = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    s2 = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert s1 == s2 and len(s1) == 6  # pure function of (id, seed)
+    assert {s for _, s in s1} <= {"train", "val", "test"}
+
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, seed=7).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, seed=7).collect()}
+    assert a == b
+    # monotone: a smaller fraction keeps a subset of a larger one
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=7).collect()}
+    assert small <= a
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, "doc_id", 1.5)
