@@ -501,6 +501,44 @@ def q_agg_pushdown(spark, sf_dir):
     )
 
 
+def q_agg_rollup(spark, sf_dir):
+    """Multi-level aggregation (ROLLUP) over the lineitem flags — the
+    grouping-sets surface of the relational checklist; grouping ids
+    exported as flags so the oracle's NULL-vs-value semantics are
+    unambiguous in the hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (Spark percentile() ==
+    DuckDB quantile_cont(), both linear interpolation on sorted values) —
+    the distribution-statistics surface a corpus-quality pipeline needs;
+    exact, not approx_percentile, so it is oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, array(0.5D, 0.9D))").alias("_q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_q", 1), 6).alias("p50"),
+            F.round(F.element_at("_q", 2), 6).alias("p90"),
+        )
+    )
+
+
 def q_set_ops_nations(spark, sf_dir):
     """Set-op coverage (SURVEY section 2.5): distinct union of customer
     and supplier nation keys."""
@@ -569,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream": q_events_stream,
         "events_sessions": q_events_sessions,
         "agg_pushdown": q_agg_pushdown,
+        "agg_rollup": q_agg_rollup,
+        "quantiles": q_quantiles,
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
         "source_files_hypergraph": q_source_files_hypergraph,
@@ -1096,6 +1136,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1998-09-03' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_rollup": (
+            "SELECT COALESCE(l_returnflag, '<all>') AS returnflag, "
+            "COALESCE(l_linestatus, '<all>') AS linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(SUM(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "quantiles": (
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "set_ops_nations": (
             "SELECT CAST(nationkey AS INT) AS nationkey FROM ("
