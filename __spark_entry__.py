@@ -237,6 +237,19 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 
 
+def q_kcore(spark, sf_dir):
+    """k-core (k=90) of the co-occurrence graph by iterative peeling
+    (operators/kcore.py); at sf0.01 this takes 4 peel rounds to a
+    527-vertex core.  Oracle: recursive CTE carrying the alive set with
+    a shrink guard (same pattern as the pagerank_converged twin)."""
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import k_core
+
+    hg = _freeze(spark, sf_dir)
+    res = k_core(hg, k=90)
+    hg.unpersist()
+    return res.membership.select(F.col("vertex_id").cast("long"), "in_core")
+
+
 def q_triangle_count(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
+        "kcore": q_kcore,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "near_dup": q_near_dup,
@@ -872,6 +886,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM uni x LEFT JOIN comp USING (vertex_id)"
         ),
         "pagerank_2iter": _sql_pagerank_2iter(),
+        "kcore": (
+            # iterative peel as a recursive CTE: working table = alive
+            # set; emit the survivors only while they still shrink; one
+            # final outside peel resolves the stop-on-empty edge case
+            f"""WITH RECURSIVE
+{_SQL_INC.replace("inc AS (", "inc AS MATERIALIZED (")},
+{_SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED (")},
+adj AS MATERIALIZED (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v
+  FROM inc a JOIN inc b USING (edge_id) WHERE a.vertex_id != b.vertex_id),
+it(r, u) AS (
+  SELECT 0, u FROM (SELECT DISTINCT u FROM adj)
+  UNION ALL
+  SELECT s.r + 1, d.u
+  FROM (SELECT a.u FROM adj a JOIN it x ON x.u = a.u JOIN it y ON y.u = a.v
+        GROUP BY a.u HAVING COUNT(*) >= 90) d
+  CROSS JOIN (SELECT MAX(r) AS r, COUNT(*) AS n FROM it) s
+  WHERE (SELECT COUNT(*) FROM (SELECT a.u FROM adj a JOIN it x ON x.u = a.u
+         JOIN it y ON y.u = a.v GROUP BY a.u HAVING COUNT(*) >= 90)) < s.n
+),
+last AS (SELECT u FROM it WHERE r = (SELECT MAX(r) FROM it)),
+finalcore AS (SELECT a.u FROM adj a JOIN last x ON x.u = a.u
+  JOIN last y ON y.u = a.v GROUP BY a.u HAVING COUNT(*) >= 90)
+SELECT u2.vertex_id,
+  CAST(CASE WHEN f.u IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_core
+FROM uni u2 LEFT JOIN finalcore f ON f.u = u2.vertex_id"""
+        ),
         "triangle_count": (
             f"WITH {_SQL_INC}, "
             "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "

@@ -132,3 +132,27 @@ def test_cc_pointer_jumping_fewer_rounds_on_path(spark):
         f"jumping {fast.iterations} vs plain {slow.iterations}"
     )
     hg.unpersist()
+
+
+def test_kcore_peeling_cascade(spark):
+    """k=3 core of K5 plus a pendant chain: the chain peels away over
+    multiple cascading rounds; the clique survives."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import k_core
+
+    clique = [[a, b] for a in range(5) for b in range(a + 1, 5)]
+    chain = [[0, 5], [5, 6], [6, 7]]
+    edges = clique + chain
+    rows = [(e, v) for e, ms in enumerate(edges) for v in ms]
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc, num_vertices=8, num_edges=len(edges), num_partitions=2)
+
+    res = k_core(hg, k=3)
+    got = {r["vertex_id"]: r["in_core"] for r in res.membership.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0}
+    assert res.core_size == 5
+    assert res.iterations >= 2  # 7 peels, then 6, then 5 — cascading rounds
+    # k above the clique degree empties the core
+    res5 = k_core(hg, k=5)
+    assert res5.core_size == 0
+    hg.unpersist()
