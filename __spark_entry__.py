@@ -44,7 +44,6 @@ from hypergraph_gpu_label_propagation_spark.operators.dedup import (
 from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
     edge_majority_step,
     label_propagation,
-    vertex_majority_step,
 )
 from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
     hypergraph_pagerank,
@@ -174,15 +173,22 @@ def q_lp_edge_majority(spark, sf_dir):
 
 
 def q_lp_superstep(spark, sf_dir):
-    inc = _incidence(spark, sf_dir)
-    nv = _nv(spark, sf_dir)
-    labels = _labels0(spark, nv)
-    edge_labels = edge_majority_step(inc, labels, MAX_LABELS)
-    old = labels.select("vertex_id", F.col("label").alias("_old"))
-    new = vertex_majority_step(inc, edge_labels, _universe(spark, nv), MAX_LABELS)
-    return new.join(old, "vertex_id").select(
-        "vertex_id", "label", (F.col("label") != F.col("_old")).cast("int").alias("changed")
+    """One full LP superstep through the engine path: freeze() caches the
+    dual incidence layout ONCE (the previous hand-rolled variant computed
+    the scan+distinct subtree twice — the r02 bench regression), run the
+    superstep, eagerly checkpoint the result, then free the cache."""
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        lp_superstep,
     )
+
+    hg = _freeze(spark, sf_dir)
+    out = (
+        lp_superstep(hg, _labels0(spark, hg.num_vertices), MAX_LABELS)
+        .select("vertex_id", "label", "changed")
+        .localCheckpoint(eager=True)
+    )
+    hg.unpersist()
+    return out
 
 
 def q_lp_superstep_weighted(spark, sf_dir):
@@ -194,9 +200,12 @@ def q_lp_superstep_weighted(spark, sf_dir):
     )
 
     hg = _freeze(spark, sf_dir)
-    out = lp_superstep(
-        hg, _labels0(spark, hg.num_vertices), MAX_LABELS, weighted=True
-    ).select("vertex_id", "label", "changed")
+    out = (
+        lp_superstep(hg, _labels0(spark, hg.num_vertices), MAX_LABELS, weighted=True)
+        .select("vertex_id", "label", "changed")
+        .localCheckpoint(eager=True)
+    )
+    hg.unpersist()
     return out
 
 
@@ -561,12 +570,21 @@ def q_set_ops_nations(spark, sf_dir):
 
 
 def q_gen_uniform(spark, sf_dir):
-    """Generator surface (G1): seeded uniform hypergraph, returned as
-    incidence rows (rows-only check — mt19937-free Spark-native
-    generation has no SQL twin; parity is pytest-tested)."""
+    """Generator surface (G1): seeded uniform hypergraph via the
+    hash-ranked sampler (sources/generators.py) — every step is md5
+    arithmetic, so the DuckDB twin regenerates the IDENTICAL incidence
+    and the driver hash-checks the generator end-to-end."""
     from hypergraph_gpu_label_propagation_spark.sources.generators import uniform_hypergraph
 
     return uniform_hypergraph(spark, num_vertices=500, num_edges=1000, seed=42)
+
+
+def q_gen_fixed(spark, sf_dir):
+    """Generator surface (G2): d-uniform Erdos-Renyi (every edge exactly
+    edge_size members), same hash-ranked sampler, same exact twin."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import fixed_hypergraph
+
+    return fixed_hypergraph(spark, num_vertices=300, num_edges=500, edge_size=4, seed=7)
 
 
 def q_source_files_hypergraph(spark, sf_dir):
@@ -625,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
+        "gen_fixed": q_gen_fixed,
         "source_files_hypergraph": q_source_files_hypergraph,
     }
 
@@ -797,6 +816,49 @@ inc_commit AS (SELECT DISTINCT c.commit_eid + (SELECT n FROM nr) AS edge_id, v.v
                FROM src s JOIN vmap v USING (repo, path) JOIN cmap c USING (repo, commit))
 SELECT CAST(edge_id AS BIGINT) AS edge_id, CAST(vertex_id AS BIGINT) AS vertex_id
 FROM (SELECT * FROM inc_repo UNION ALL SELECT * FROM inc_commit)
+"""
+
+
+def _sql_gen_uniform(
+    num_vertices: int,
+    num_edges: int,
+    min_edge_size: int,
+    max_edge_size: int,
+    seed: int,
+) -> str:
+    """DuckDB twin of the hash-ranked uniform sampler
+    (sources/generators.py::uniform_hypergraph): identical k draw,
+    candidate window, and rank hash, so the regenerated incidence is
+    byte-identical to Spark's."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import (
+        candidate_window,
+    )
+
+    span = max_edge_size - min_edge_size + 1
+    window = candidate_window(max_edge_size)
+    if num_vertices <= window:
+        n_slots, cand = num_vertices, "s.s"
+    else:
+        n_slots = window
+        cand = (
+            f"('0x' || substr(md5('{seed}:c:' || CAST(e.edge_id AS VARCHAR) "
+            f"|| ':' || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT % {num_vertices}"
+        )
+    return f"""
+WITH e AS (SELECT UNNEST(generate_series(0, {num_edges - 1})) AS edge_id),
+k AS (SELECT edge_id, {min_edge_size} +
+    ('0x' || substr(md5('{seed}:k:' || CAST(edge_id AS VARCHAR)), 1, 15))::BIGINT
+    % {span} AS k FROM e),
+cand AS (SELECT DISTINCT e.edge_id, {cand} AS vertex_id
+  FROM e, (SELECT UNNEST(generate_series(0, {n_slots - 1})) AS s) s),
+ranked AS (SELECT c.edge_id, c.vertex_id, k.k,
+    ROW_NUMBER() OVER (PARTITION BY c.edge_id ORDER BY
+      ('0x' || substr(md5('{seed}:r:' || CAST(c.edge_id AS VARCHAR)
+        || ':' || CAST(c.vertex_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+      c.vertex_id ASC) AS rn
+  FROM cand c JOIN k USING (edge_id))
+SELECT CAST(edge_id AS BIGINT) AS edge_id, CAST(vertex_id AS BIGINT) AS vertex_id
+FROM ranked WHERE rn <= k
 """
 
 
@@ -1004,7 +1066,10 @@ FROM uni u2 LEFT JOIN finalcore f ON f.u = u2.vertex_id"""
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(len(ws) AS BIGINT) AS n_ws_tokens, "
             "CAST(len(rt) AS BIGINT) AS n_regex_tokens, "
-            "CAST(list_sum(list_transform(rt, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) "
+            # COALESCE: DuckDB list_sum is NULL on an empty list while the
+            # Spark aggregate returns 0 — normalize for zero-token docs
+            "CAST(COALESCE(list_sum(list_transform(rt, "
+            "  x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) "
             "  AS BIGINT) AS bpe_estimate FROM t"
         ),
         "text_fingerprint": (
@@ -1195,9 +1260,11 @@ FROM uni u2 LEFT JOIN finalcore f ON f.u = u2.vertex_id"""
             "SELECT c_nationkey AS nationkey FROM customer "
             "UNION SELECT s_nationkey FROM supplier)"
         ),
-        # gen_uniform / source_files_hypergraph: seeded Spark-native
-        # generation — no SQL twins; driver records rows-only checks.
     }
+    # generators: the hash-ranked sampler is md5 arithmetic end-to-end,
+    # so DuckDB regenerates the identical incidence (exact twins)
+    oracles["gen_uniform"] = _sql_gen_uniform(500, 1000, 2, 5, 42)
+    oracles["gen_fixed"] = _sql_gen_uniform(300, 500, 4, 4, 7)
     # the streaming query in complete output mode emits every window, so
     # its result equals the batch twin's — same oracle verifies both
     oracles["events_stream"] = oracles["events_window"]

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
-from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
 
 
 @dataclass

@@ -16,9 +16,10 @@ Operators:
   an all-pairs product;
 - simhash64: Charikar 2002 sign-random-projection fingerprint over
   token hashes, 60 bits (bit b = sign of the +-1 vote sum);
-- embedding_cosine_dup_pairs: exact cosine near-dup pairs over an
-  embedding column (brute force within broadcastable query sets; for
-  the full N^2 case use operators/similarity.py's LSH bucketing).
+- embedding_near_dup_pairs: banded sign-LSH candidates + exact cosine
+  verify on candidates only — the scale path for embedding near-dup;
+- embedding_cosine_dup_pairs_exact: exact all-pairs cosine near-dup
+  (test oracle for the LSH path; O(N^2), small inputs only).
 
 Hash primitive: ``h60(s) = bigint(first 15 hex chars of md5(s))``
 (60 bits, always positive, identical in Spark via

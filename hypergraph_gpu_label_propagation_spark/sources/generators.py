@@ -3,11 +3,28 @@
 The reference draws from a single mt19937 stream, which is inherently
 sequential; we replicate the *distributional* semantics with
 partition-parallel, seed-deterministic generation (SURVEY.md section
-2.3): every edge's membership is a pure function of
-``(seed, edge_id)`` via ``np.random.default_rng([seed, edge_id])``
-inside an Arrow-batched ``mapInPandas``.  Results are therefore
-identical at any partition count — the Spark analog of the reference's
-seeded reproducibility (README.md:55-60).
+2.3).  Results are identical at any partition count — the Spark analog
+of the reference's seeded reproducibility (README.md:55-60).
+
+G1/G2 (uniform/fixed) use a **hash-ranked sampler** built entirely from
+column expressions (zero Python in the path): per edge,
+``k = min + h60(seed:k:e) % span`` and the members are the first ``k``
+distinct candidates ranked by an independent hash
+``h60(seed:r:e:v)``.  Candidates are either ALL vertices (when
+``num_vertices`` fits the candidate window — exact uniform k-subset) or
+``4*max_edge_size + 32`` hash-drawn slots ``h60(seed:c:e:s) % V``
+(i.i.d. uniform draws; conditioned on the distinct set, the
+independent rank-hash again picks a uniform k-subset).  The shortfall
+probability (fewer than ``k`` distinct among the window draws when
+``V > window``) is bounded by ``C(W,2)^(W-k+1) / V^(W-k+1)`` —
+astronomically small for ``W >= 4k``.  Because every step is md5
+arithmetic, the DuckDB oracle reproduces the generator EXACTLY
+(``__spark_entry__._sql_gen_uniform``), and generation throughput is
+JVM-bound rather than per-edge-Python-rng-bound.
+
+Planted/hSBM keep the Arrow ``mapInPandas`` per-edge rng (their
+rejection/top-up logic is control-flow heavy); they remain pure
+functions of ``(seed, edge_id)``.
 
 Generators:
 - uniform:  per edge k ~ U[min,max] (>=2), k distinct vertices uniform
@@ -48,6 +65,12 @@ def _sample_distinct(rng: np.random.Generator, population: int, k: int) -> np.nd
     return rng.choice(population, size=k, replace=False)
 
 
+def candidate_window(max_edge_size: int) -> int:
+    """Candidate-slot count for the hash-ranked sampler; shared with the
+    DuckDB twin so both engines draw the identical candidate sets."""
+    return 4 * max_edge_size + 32
+
+
 def uniform_hypergraph(
     spark: SparkSession,
     num_vertices: int,
@@ -56,21 +79,49 @@ def uniform_hypergraph(
     max_edge_size: int = 5,
     seed: int = 42,
 ) -> DataFrame:
+    """Hash-ranked uniform sampler — pure column expressions, exact
+    SQL twin (see module docstring).  k ~ U[min,max] per edge, members
+    distinct (k capped at num_vertices, hypergraph.cpp:129-145)."""
     if min_edge_size < 2 or max_edge_size < min_edge_size:
         raise ValueError("edge size bounds invalid (reference hypergraph.cpp:130-133)")
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            eids, vids = [], []
-            for e in pdf["id"].to_numpy():
-                rng = _edge_rng(seed, int(e))
-                k = int(rng.integers(min_edge_size, max_edge_size + 1))
-                members = _sample_distinct(rng, num_vertices, k)
-                eids.extend([int(e)] * len(members))
-                vids.extend(members.tolist())
-            yield pd.DataFrame({"edge_id": eids, "vertex_id": vids})
-
-    return spark.range(num_edges).mapInPandas(gen, INC_SCHEMA)
+    span = max_edge_size - min_edge_size + 1
+    window = candidate_window(max_edge_size)
+    eid = F.col("edge_id").cast("string")
+    k = (
+        F.lit(min_edge_size)
+        + F.pmod(h60(F.concat(F.lit(f"{seed}:k:"), eid)), F.lit(span))
+    ).cast("int")
+    if num_vertices <= window:
+        n_slots, cand = num_vertices, F.col("slot").cast("long")
+    else:
+        n_slots = window
+        cand = F.pmod(
+            h60(F.concat(F.lit(f"{seed}:c:"), eid, F.lit(":"), F.col("slot").cast("string"))),
+            F.lit(num_vertices),
+        )
+    cands = (
+        spark.range(num_edges)
+        .select(F.col("id").alias("edge_id"), k.alias("k"))
+        .select(
+            "edge_id", "k",
+            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("slot"),
+        )
+        .select("edge_id", "k", cand.alias("vertex_id"))
+        .distinct()  # k is functionally dependent on edge_id
+    )
+    rank_h = h60(
+        F.concat(F.lit(f"{seed}:r:"), eid, F.lit(":"), F.col("vertex_id").cast("string"))
+    )
+    # per-edge window over <= max(window, num_vertices) rows — bounded,
+    # partitioned by edge_id, so it parallelizes across edges at any scale
+    w = Window.partitionBy("edge_id").orderBy(rank_h.asc(), F.col("vertex_id").asc())
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .select("edge_id", "vertex_id")
+    )
 
 
 def fixed_hypergraph(

@@ -162,6 +162,15 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
     depends on (node-data key order, then edge-dict document order,
     utils.hpp:167-175).
 
+    .. caution:: map-entry document order is an implementation detail of
+       Spark's Jackson ``ArrayBasedMapData`` path (observed stable on
+       Spark 3.x-4.1), NOT a documented contract.  The parity test
+       ``tests/test_ingest.py::test_json_rich_distributed_parity``
+       guards it: if a Spark upgrade reorders map entries that test
+       fails loudly.  The order-independent fallback is to parse the raw
+       text with ``from_json`` over a struct schema + ``posexplode``
+       (explicit positions), at the cost of schema-per-file codegen.
+
     The ONLY sequential step is numbering the distinct vertex ids
     (a row_number over one row per vertex — the id map, not the
     incidence data); the map is then broadcast into the incidence join.

@@ -91,9 +91,19 @@ def sessionize(events: DataFrame, gap: str = "4 hours") -> DataFrame:
 def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> DataFrame:
     """Durable incremental degree maintenance — the foreachBatch MERGE
     pattern: each micro-batch's per-vertex delta is merged into a parquet
-    state table via write-to-temp + atomic directory swap, with the last
-    merged batch id recorded for idempotent replay (a restarted query
+    state table via write-to-temp + directory swap, with the last merged
+    batch id recorded for idempotent replay (a restarted query
     re-delivering a batch must not double-count).
+
+    Crash safety: the batch-id marker lives INSIDE the state snapshot
+    (``current/_merged_batch``), written into the temp dir BEFORE the
+    swap, so the state table and its replay watermark always move as one
+    unit — there is no window where the new state is visible without its
+    marker (the double-count hazard of a side-channel marker file).  The
+    two-rename swap itself is not atomic; :func:`_recover_state` closes
+    that window by restoring ``current.old`` whenever a crash between
+    the renames left ``current`` missing (the batch then simply replays
+    against the restored pre-batch state — idempotent by the marker).
 
     At cluster scale the swap becomes a MERGE INTO on an Iceberg/Delta
     table; the batch-id guard is exactly Structured Streaming's
@@ -101,13 +111,16 @@ def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> 
     Returns the final state as a batch DataFrame.
     """
     import os
-    import shutil
 
     os.makedirs(state_dir, exist_ok=True)
     cur_path = os.path.join(state_dir, "current")
-    marker = os.path.join(state_dir, "_last_batch")
+    _recover_state(state_dir)  # heal any half-finished swap from a prior run
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        _recover_state(state_dir)
+        marker = os.path.join(cur_path, "_merged_batch")
         if os.path.exists(marker):
             with open(marker) as f:
                 if batch_id <= int(f.read().strip()):
@@ -124,13 +137,15 @@ def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> 
             merged = delta.select("vertex_id", F.col("degree").cast("long"))
         tmp = os.path.join(state_dir, f"tmp-{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE the swap
+        # marker rides the snapshot: written into tmp BEFORE the swap so
+        # state + watermark become visible together
+        with open(os.path.join(tmp, "_merged_batch"), "w") as f:
+            f.write(str(batch_id))
         old = cur_path + ".old"
         if os.path.exists(cur_path):
             os.rename(cur_path, old)
         os.rename(tmp, cur_path)
         shutil.rmtree(old, ignore_errors=True)
-        with open(marker, "w") as f:
-            f.write(str(batch_id))
 
     inc = (
         spark.readStream.schema(INCIDENCE_SCHEMA)
@@ -147,6 +162,35 @@ def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> 
     finally:
         q.stop()
     return spark.read.parquet(cur_path)
+
+
+def _recover_state(state_dir: str) -> None:
+    """Heal a half-finished state swap (see :func:`run_degrees_merge`).
+
+    Crash windows of the two-rename swap and their recovery:
+    - between ``rename(current -> current.old)`` and
+      ``rename(tmp -> current)``: ``current`` missing, ``current.old``
+      holds the complete pre-batch snapshot (incl. its marker) ->
+      restore it; the interrupted batch replays idempotently;
+    - between ``rename(tmp -> current)`` and ``rmtree(current.old)``:
+      both present; the swap completed -> drop the stale ``.old``;
+    - stale ``tmp-*`` dirs are always safe to drop (either incomplete,
+      or complete-but-unswapped, in which case the batch replays and
+      rewrites them).
+    """
+    import os
+    import shutil
+
+    cur_path = os.path.join(state_dir, "current")
+    old = cur_path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(cur_path):
+            shutil.rmtree(old, ignore_errors=True)  # swap finished; stale .old
+        else:
+            os.rename(old, cur_path)  # crash mid-swap; restore pre-batch state
+    for d in os.listdir(state_dir) if os.path.isdir(state_dir) else []:
+        if d.startswith("tmp-"):
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:

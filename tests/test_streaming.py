@@ -114,3 +114,48 @@ def test_degrees_merge_incremental_and_idempotent(spark, tmp_path):
     # replay: same checkpoint, no new files -> state unchanged
     again = run_degrees_merge(spark, str(sdir), state)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_degrees_merge_crash_recovery(spark, tmp_path):
+    """Half-finished swap states heal: (a) crash between the two renames
+    (current missing, .old present) restores the pre-batch snapshot and
+    replays the batch without double-counting; (b) crash after the swap
+    but before .old cleanup just drops the stale .old."""
+    import os
+    import shutil as sh
+
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        _recover_state,
+        run_degrees_merge,
+    )
+
+    inc = entrymod._incidence(spark, SF)
+    sdir = tmp_path / "stream_in"
+    sdir.mkdir()
+    inc.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one.parquet"))
+    import glob
+
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "one.parquet" / "part-*.parquet")))):
+        sh.copy(f, sdir / f"file{i}.parquet")
+    state = str(tmp_path / "state")
+    got = run_degrees_merge(spark, str(sdir), state)
+    want = {tuple(r) for r in inc.groupBy("vertex_id").agg(F.count("*").alias("degree")).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    cur = os.path.join(state, "current")
+
+    # (a) mid-swap crash: current gone, .old holds the snapshot
+    os.rename(cur, cur + ".old")
+    (tmp_path / "state" / "tmp-99").mkdir()  # stale temp dir too
+    _recover_state(state)
+    assert os.path.exists(cur) and not os.path.exists(cur + ".old")
+    assert not os.path.exists(os.path.join(state, "tmp-99"))
+    assert {tuple(r) for r in spark.read.parquet(cur).collect()} == want
+    # marker survived inside the snapshot -> replay is still idempotent
+    again = run_degrees_merge(spark, str(sdir), state)
+    assert {tuple(r) for r in again.collect()} == want
+
+    # (b) post-swap crash: both present -> stale .old dropped
+    sh.copytree(cur, cur + ".old")
+    _recover_state(state)
+    assert os.path.exists(cur) and not os.path.exists(cur + ".old")
+    assert {tuple(r) for r in spark.read.parquet(cur).collect()} == want
