@@ -259,6 +259,20 @@ def q_kcore(spark, sf_dir):
     return res.membership.select(F.col("vertex_id").cast("long"), "in_core")
 
 
+def q_coreness(spark, sf_dir):
+    """Full k-core decomposition (per-vertex core number) via the
+    iterated h-index fixed point (operators/kcore.py::coreness); the
+    oracle replicates the SAME iteration as a recursive CTE with a
+    change-count guard, so both engines stop at the identical fixed
+    point (which IS coreness — Lü et al. 2016)."""
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    hg = _freeze(spark, sf_dir)
+    res = coreness(hg)
+    hg.unpersist()
+    return res.coreness.select(F.col("vertex_id").cast("long"), "coreness")
+
+
 def q_triangle_count(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
         "kcore": q_kcore,
+        "coreness": q_coreness,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "near_dup": q_near_dup,
@@ -973,6 +988,34 @@ finalcore AS (SELECT a.u FROM adj a JOIN last x ON x.u = a.u
 SELECT u2.vertex_id,
   CAST(CASE WHEN f.u IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_core
 FROM uni u2 LEFT JOIN finalcore f ON f.u = u2.vertex_id"""
+        ),
+        "coreness": (
+            # iterated h-index fixed point as a recursive CTE: working
+            # table carries (k, u, c, prev); each step ranks neighbor
+            # values desc per vertex and takes h = max(least(c, rank));
+            # the change-count guard stops at the same fixed point as
+            # the Spark loop (coreness, Lü et al. 2016)
+            f"""WITH RECURSIVE
+{_SQL_INC.replace("inc AS (", "inc AS MATERIALIZED (")},
+{_SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED (")},
+adj AS MATERIALIZED (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v
+  FROM inc a JOIN inc b USING (edge_id) WHERE a.vertex_id != b.vertex_id),
+it(k, u, c, prev) AS (
+  SELECT 0, u, CAST(COUNT(*) AS INT), -1 FROM adj GROUP BY u
+  UNION ALL
+  SELECT s.k + 1, h.u, h.h, cur.c
+  FROM (SELECT nb.u, CAST(MAX(LEAST(nb.c, nb.rn)) AS INT) AS h FROM (
+          SELECT a.u, st.c,
+                 ROW_NUMBER() OVER (PARTITION BY a.u ORDER BY st.c DESC) AS rn
+          FROM adj a JOIN it st ON st.u = a.v) nb GROUP BY nb.u) h
+  JOIN it cur ON cur.u = h.u
+  CROSS JOIN (SELECT MAX(k) AS k,
+                SUM(CASE WHEN c != prev THEN 1 ELSE 0 END) AS ch FROM it) s
+  WHERE s.ch > 0
+),
+fin AS (SELECT u, c FROM it WHERE k = (SELECT MAX(k) FROM it))
+SELECT u2.vertex_id, CAST(COALESCE(f.c, 0) AS INT) AS coreness
+FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
         ),
         "triangle_count": (
             f"WITH {_SQL_INC}, "

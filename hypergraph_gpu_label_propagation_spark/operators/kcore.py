@@ -1,4 +1,4 @@
-"""k-core of the hypergraph's co-occurrence graph (iterative peeling).
+"""k-core / coreness of the hypergraph's co-occurrence graph.
 
 Definition (standard k-core, cf. Batagelj & Zaversnik 2003): on the
 clique-expanded co-occurrence graph (u ~ v iff they share a hyperedge,
@@ -6,6 +6,16 @@ operators/triangles.clique_expansion), repeatedly remove vertices with
 fewer than k alive neighbors until a fixed point; the survivors are the
 k-core.  Output covers every vertex with an ``in_core`` flag so the
 result has a stable one-row-per-vertex shape.
+
+:func:`coreness` computes the FULL decomposition (per-vertex core
+number) via the iterated neighborhood-h-index fixed point (Lü, Zhou,
+Zhang & Stanley, "The H-index of a network node...", Nature Comms
+2016): initialize c0(v) = deg(v), then c_{t+1}(v) = H({c_t(u) : u in
+N(v)}); the sequence is pointwise non-increasing and converges exactly
+to coreness.  One Spark round = one join + one partitioned window —
+O(convergence rounds) supersteps instead of O(max-degree) peel levels,
+which is the right shape at 100 TB (rounds ~ tens; peel levels can be
+thousands on heavy-tailed graphs).
 
 Execution shape (same discipline as LP/CC, label_propagation.py):
 - adjacency built once, localCheckpointed (GC-reclaimed);
@@ -24,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
@@ -89,4 +99,75 @@ def k_core(hg: Hypergraph, k: int, max_iterations: int = 200) -> KCoreResult:
         iterations=iterations,
         core_size=core_size,
         removed_per_iter=removed_per_iter,
+    )
+
+
+@dataclass
+class CorenessResult:
+    coreness: DataFrame  # (vertex_id, coreness: int), one row per vertex
+    iterations: int
+    changes_per_iter: list[int] = field(default_factory=list)
+
+
+def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
+    """Per-vertex core number of the co-occurrence graph (full k-core
+    decomposition) by the iterated h-index fixed point (module doc).
+
+    Per round: one (v -> neighbor values) join against the checkpointed
+    adjacency, one window ranked by value within each vertex partition
+    (h = max(min(value, rank)) — bounded by the vertex's degree), one
+    observe()-fused change count riding the checkpoint job.  Stops at
+    the first round with zero changes (the fixed point IS coreness).
+    Isolated vertices get coreness 0 via the universe left-join.
+    """
+    half = clique_expansion(hg)
+    adj = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    state = (
+        adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    iterations = 0
+    changes_per_iter: list[int] = []
+    cores = hg.spark.sparkContext.defaultParallelism
+    w = Window.partitionBy("u").orderBy(F.col("c").desc())
+    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+        for _ in range(max_iterations):
+            nb = adj.join(
+                state.select(F.col("u").alias("v"), "c"), "v"
+            ).select("u", "c")
+            h = (
+                nb.withColumn("_rn", F.row_number().over(w))
+                .groupBy("u")
+                .agg(F.max(F.least(F.col("c"), F.col("_rn"))).cast("int").alias("_h"))
+            )
+            obs = Observation(f"coreness_{iterations}")
+            # every u in state has >= 1 neighbor (state is built FROM adj),
+            # so the inner join is total
+            new_state = (
+                state.join(h, "u")
+                .select(
+                    "u",
+                    F.col("_h").alias("c"),
+                    (F.col("_h") != F.col("c")).cast("int").alias("_ch"),
+                )
+                .observe(obs, F.sum("_ch").alias("ch"))
+                .localCheckpoint(eager=True)
+            )
+            changes = int(obs.get["ch"] or 0)
+            state.unpersist()
+            state = new_state.select("u", "c")
+            iterations += 1
+            changes_per_iter.append(changes)
+            if changes == 0:
+                break
+    out = (
+        hg.vertices()
+        .join(state.select(F.col("u").alias("vertex_id"), "c"), "vertex_id", "left")
+        .select("vertex_id", F.coalesce("c", F.lit(0)).cast("int").alias("coreness"))
+    )
+    return CorenessResult(
+        coreness=out, iterations=iterations, changes_per_iter=changes_per_iter
     )

@@ -156,3 +156,67 @@ def test_kcore_peeling_cascade(spark):
     res5 = k_core(hg, k=5)
     assert res5.core_size == 0
     hg.unpersist()
+
+
+def _peel_coreness(edges, nv):
+    """Independent reference: textbook Batagelj-Zaversnik peel on the
+    clique-expanded co-occurrence graph (NOT the h-index iteration the
+    engine uses — different algorithm, same answer)."""
+    nbrs = [set() for _ in range(nv)]
+    for ms in edges:
+        for a in ms:
+            for b in ms:
+                if a != b:
+                    nbrs[a].add(b)
+    core = [len(n) for n in nbrs]
+    alive = set(range(nv))
+    k = 0
+    while alive:
+        while True:
+            drop = [v for v in alive if len(nbrs[v] & alive) < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                alive.discard(v)
+        if alive and all(len(nbrs[v] & alive) >= k for v in alive):
+            k += 1
+    return core
+
+
+def test_coreness_clique_plus_chain(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    clique = [[a, b] for a in range(5) for b in range(a + 1, 5)]
+    chain = [[0, 5], [5, 6], [6, 7]]
+    edges = clique + chain
+    hg = _freeze(spark, edges, 8)
+    res = coreness(hg)
+    got = {r["vertex_id"]: r["coreness"] for r in res.coreness.collect()}
+    # K5 members have coreness 4; the pendant chain has coreness 1
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1, 7: 1}
+    assert res.changes_per_iter[-1] == 0  # stopped at the fixed point
+    hg.unpersist()
+
+
+def test_coreness_random_matches_peel(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    nv = 40
+    edges = _rng_hypergraph(11, nv=nv, ne=70)
+    hg = _freeze(spark, edges, nv)
+    res = coreness(hg)
+    got = [0] * nv
+    for r in res.coreness.collect():
+        got[r["vertex_id"]] = r["coreness"]
+    want = _peel_coreness(edges, nv)
+    # isolated vertices: peel reference gives degree 0 -> stays 0
+    assert got == want, f"h-index fixed point != peel: {got} vs {want}"
+    # consistency with the single-k operator: k-core(k) == {v: coreness >= k}
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import k_core
+
+    for k in (2, 3):
+        in_core = {r["vertex_id"] for r in k_core(hg, k=k).membership.collect()
+                   if r["in_core"] == 1}
+        assert in_core == {v for v in range(nv) if want[v] >= k}
+    hg.unpersist()
