@@ -216,6 +216,27 @@ def q_lp_converged(spark, sf_dir):
     return res.labels
 
 
+def q_lp_converged_bucketed(spark, sf_dir):
+    """LP to convergence over the DURABLE bucketed dual layout
+    (sources/bucketed.py): the incidence is persisted as two
+    bucketed+sorted tables (by vertex_id / by edge_id), then every
+    superstep join reads the bucketed scans with NO Exchange on the
+    incidence side (asserted in tests/test_bucketed.py).  End-to-end
+    this is the 100 TB deployment shape — Iceberg bucket-transform
+    tables on a real cluster — run under the driver gate with the SAME
+    oracle as lp_converged (the layout must not change the answer)."""
+    from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
+        freeze_from_bucketed,
+        write_bucketed,
+    )
+
+    write_bucketed(_incidence(spark, sf_dir), "lp_headline_bucketed")
+    hg = freeze_from_bucketed(spark, "lp_headline_bucketed", persist=True)
+    res = label_propagation(hg, _labels0(spark, hg.num_vertices), max_labels=MAX_LABELS)
+    hg.unpersist()
+    return res.labels
+
+
 def q_connected_components(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     res = connected_components(hg)
@@ -628,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_superstep": q_lp_superstep,
         "lp_superstep_weighted": q_lp_superstep_weighted,
         "lp_converged": q_lp_converged,
+        "lp_converged_bucketed": q_lp_converged_bucketed,
         "connected_components": q_connected_components,
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
@@ -951,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM uni u LEFT JOIN vmaj v USING (vertex_id) JOIN lab0 l USING (vertex_id)"
         ),
         "lp_converged": _sql_lp_converged(),
+        # the durable bucketed layout must be answer-preserving
+        "lp_converged_bucketed": _sql_lp_converged(),
         "pagerank_converged": _sql_pagerank_converged(),
         "connected_components": (
             f"WITH RECURSIVE {_SQL_INC}, {_SQL_UNI}, "

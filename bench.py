@@ -35,6 +35,8 @@ from hypergraph_gpu_label_propagation_spark.session import get_spark
 HEADLINE = [
     "lp_superstep",
     "lp_converged",
+    "lp_converged_bucketed",
+    "coreness",
     "pagerank_converged",
     "connected_components",
     "triangle_count",

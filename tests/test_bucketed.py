@@ -62,3 +62,42 @@ def test_bucketed_join_skips_exchange_on_incidence_side(spark):
         assert joined.count() == 2000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_lp_superstep_drops_incidence_exchanges(spark):
+    """The FULL superstep plan over the bucketed layout has strictly
+    fewer shuffles than over a plain (unbucketed, unpersisted) incidence
+    — every incidence-side scan joins/aggregates bucket-locally."""
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        lp_superstep,
+    )
+    from hypergraph_gpu_label_propagation_spark.plans.inspect import count_exchanges
+
+    inc = spark.range(4000).select(
+        (F.col("id") % 500).alias("edge_id"), (F.col("id") % 233).alias("vertex_id")
+    ).distinct()
+    labels = spark.range(233).select(
+        F.col("id").alias("vertex_id"), (F.col("id") % 5).cast("int").alias("label")
+    )
+    write_bucketed(inc, "t_bucket_lp", buckets=8)
+    hg_b = freeze_from_bucketed(spark, "t_bucket_lp", num_vertices=233, num_edges=500)
+    hg_plain = Hypergraph(
+        spark=spark, incidence_by_vertex=inc, incidence_by_edge=inc,
+        vertex_labels=labels, num_vertices=233, num_edges=500, num_partitions=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_bucketed = count_exchanges(lp_superstep(hg_b, labels, 5))
+        n_plain = count_exchanges(lp_superstep(hg_plain, labels, 5))
+        # plain pays an Exchange above each of the 3 incidence scans
+        # (phase-1 join, edge universe distinct, phase-2 join); the
+        # bucketed scans need none of them
+        assert n_bucketed <= n_plain - 3, f"{n_bucketed} vs {n_plain}"
+        # and the answers agree
+        got_b = {tuple(r) for r in lp_superstep(hg_b, labels, 5).collect()}
+        got_p = {tuple(r) for r in lp_superstep(hg_plain, labels, 5).collect()}
+        assert got_b == got_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
