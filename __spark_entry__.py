@@ -596,6 +596,27 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_approx_stats(spark, sf_dir):
+    """Approximate-statistics surface (functions/stats.py): exact
+    per-group quantiles + distinct counts (hash-checked by the twin)
+    alongside sketch forms (approx_percentile / HyperLogLog++), with
+    per-group ``*_ok`` tolerance flags certifying the sketches against
+    the exact values.  Sketch internals are engine-specific, so the
+    cross-engine contract for the approx columns is the tolerance flag
+    (oracle emits the expected flag = 1), while exact columns compare
+    value-exactly as usual."""
+    from hypergraph_gpu_label_propagation_spark.functions.stats import (
+        stats_with_tolerance,
+    )
+
+    return stats_with_tolerance(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        value_col="l_quantity",
+        key_col="l_partkey",
+    )
+
+
 def q_set_ops_nations(spark, sf_dir):
     """Set-op coverage (SURVEY section 2.5): distinct union of customer
     and supplier nation keys."""
@@ -678,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": q_agg_pushdown,
         "agg_rollup": q_agg_rollup,
         "quantiles": q_quantiles,
+        "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
         "gen_fixed": q_gen_fixed,
@@ -1320,6 +1342,18 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "SELECT l_returnflag, "
             "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, "
             "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "approx_stats": (
+            # exact columns recomputed; *_ok flags are the tolerance
+            # contract (sketches are engine-specific — see q_approx_stats)
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+            "CAST(1 AS INT) AS p50_ok, "
+            "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90, "
+            "CAST(1 AS INT) AS p90_ok, "
+            "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct, "
+            "CAST(1 AS INT) AS distinct_ok "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "set_ops_nations": (

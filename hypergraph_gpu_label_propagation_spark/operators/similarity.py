@@ -13,7 +13,10 @@
 
 At 100 TB: the corpus stays partitioned by bucket (one shuffle at index
 build), each query touches only its probe buckets, and re-ranking is a
-per-bucket local top-k followed by a tiny global merge.
+per-bucket local top-k followed by a tiny global merge — that is the
+``broadcast_queries=False`` path of :func:`signlsh_topk`; the default
+``True`` broadcasts small interactive query sets instead (no corpus
+shuffle at all).
 """
 
 from __future__ import annotations
@@ -180,21 +183,49 @@ def signlsh_topk(
     num_planes: int = 8,
     multiprobe: bool = True,
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates from same-bucket collisions (plus
     hamming-1 probe buckets when ``multiprobe``), exact cosine re-rank
     on candidates only.  Returns (query_id, neighbor_id, cos_sim, rank).
 
-    ``dim`` is required (embedding dimensionality) — no data sniffing."""
+    ``dim`` is required (embedding dimensionality) — no data sniffing.
+
+    ``broadcast_queries`` picks the physical strategy for the
+    bucket-collision join:
+
+    - ``True`` (default): broadcast the (small) probe-exploded query
+      side — right for interactive query sets that fit the broadcast
+      limit; the corpus is scanned exactly once, no shuffle on it.
+    - ``False``: the LARGE-query-set path (|Q| beyond broadcast size,
+      e.g. corpus-vs-corpus dedup or batch retrieval).  Both sides
+      shuffle on ``bucket`` (``SHUFFLE_HASH`` hint — never a driver-side
+      broadcast build), then a per-(bucket, query) local top-k runs
+      WITHOUT re-shuffling (hash partitioning on bucket already
+      co-locates each group; only a local sort is added) so at most
+      ``k`` rows per probe bucket survive into the global
+      per-query merge.  The global top-k over the union of per-bucket
+      top-ks equals the top-k over all candidates: every candidate
+      lives in >= 1 probe bucket, and inside that bucket its rank under
+      the same total order bounds its global rank.
+
+    Both paths produce identical results (pytest-asserted at |Q|=10^4).
+    """
     if dim is None:
         raise ValueError("signlsh_topk requires dim (the embedding dimensionality)")
-    cb = signlsh_buckets(corpus, id_col, vec_col, num_planes, dim).join(
-        corpus.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "bucket", F.col(vec_col).alias("_cv"))
-
-    qb = signlsh_buckets(queries, id_col, vec_col, num_planes, dim).join(
-        queries.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(F.col(id_col).alias("query_id"), "bucket", F.col(vec_col).alias("_qv"))
+    planes = plane_matrix(num_planes, dim)
+    # bucket + vector in ONE projection — a single scan per side (the
+    # former signlsh_buckets + join-back shape scanned each side twice)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.col(vec_col).alias("_cv"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.col(vec_col).alias("_qv"),
+    )
 
     if multiprobe:
         probes = F.array(
@@ -203,19 +234,29 @@ def signlsh_topk(
         )
         qb = qb.select("query_id", "_qv", F.explode(probes).alias("bucket"))
 
-    cand = (
+    joined = (
         F.broadcast(qb).join(cb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        if broadcast_queries
+        else qb.hint("shuffle_hash").join(cb, "bucket")
+    )
+    pairs = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "bucket",
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    order = (F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    if not broadcast_queries:
+        # per-bucket local top-k before the global merge: bounds the
+        # shuffle into the per-query window to (probes * k) rows/query
+        wl = Window.partitionBy("bucket", "query_id").orderBy(*order)
+        pairs = (
+            pairs.withColumn("_lr", F.row_number().over(wl))
+            .filter(F.col("_lr") <= k)
+            .drop("_lr")
         )
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
+    cand = pairs.select("query_id", "neighbor_id", "cos_sim").distinct()
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -236,12 +236,14 @@ def hsbm_hypergraph(
             f"8 candidate-pool doublings ({n_cand} candidates); raise p_intra/p_inter "
             "or lower num_edges"
         )
-    # global row_number is single-partition, but only over num_edges rows
-    # of (cand_id) — generation-time cost, not the query hot path
-    kept = (
-        acc.select("cand_id").distinct().orderBy("cand_id").limit(num_edges)
-        .select("cand_id", (F.row_number().over(Window.orderBy("cand_id")) - 1)
-                .cast("long").alias("edge_id"))
+    # dense renumbering WITHOUT a single-partition global window: the
+    # two-step range-partitioned rank (sources/source_files.py::dense_ids
+    # — per-range row_number + broadcast cumulative offsets) assigns the
+    # same ids as ROW_NUMBER() OVER (ORDER BY cand_id) at any scale
+    from hypergraph_gpu_label_propagation_spark.sources.source_files import dense_ids
+
+    kept = dense_ids(acc.select("cand_id").distinct(), ["cand_id"], "edge_id").filter(
+        F.col("edge_id") < num_edges
     )
     return acc.join(kept, "cand_id").select("edge_id", "vertex_id")
 

@@ -104,3 +104,27 @@ def test_random_labels(spark):
     assert diff > 100
     # all classes hit
     assert df.select("label").distinct().count() == 6
+
+
+def test_hsbm_renumbering_is_global_rank_and_partition_independent(spark):
+    """The hSBM dense renumbering now rides dense_ids (range-partitioned
+    two-step rank) instead of a single-partition global window; the ids
+    must equal ROW_NUMBER() OVER (ORDER BY key) at any bucket count and
+    the generated incidence must be identical across partition counts."""
+    from pyspark.sql import Window
+
+    from hypergraph_gpu_label_propagation_spark.sources.source_files import dense_ids
+
+    df = spark.range(5000).select(F.md5(F.col("id").cast("string")).alias("key"))
+    want = df.select(
+        "key",
+        (F.row_number().over(Window.orderBy("key")) - 1).cast("long").alias("rid"),
+    )
+    w = {(r["key"], r["rid"]) for r in want.collect()}
+    for buckets in (1, 7, 256):
+        got = dense_ids(df, ["key"], "rid", buckets=buckets)
+        assert {(r["key"], r["rid"]) for r in got.collect()} == w, buckets
+
+    a = hsbm_hypergraph(spark, 200, 120, communities=4, seed=9)
+    b = hsbm_hypergraph(spark, 200, 120, communities=4, seed=9).repartition(17)
+    assert _sorted_rows(a) == _sorted_rows(b)

@@ -297,3 +297,69 @@ def test_hash_split_and_sample_deterministic(spark, docs):
         hash_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(docs, "doc_id", 1.5)
+
+
+def test_signlsh_large_query_set_non_broadcast_path(spark):
+    """broadcast_queries=False (the |Q| ~ 10^4 batch path): the bucket
+    join is shuffle-based (no BroadcastHashJoin anywhere in the plan —
+    a broadcast of 10^4+ probe rows would OOM the driver at real |Q|),
+    and the per-bucket-local-top-k + global-merge result is IDENTICAL
+    to the broadcast path's."""
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+        signlsh_topk,
+    )
+    from hypergraph_gpu_label_propagation_spark.plans.inspect import (
+        uses_broadcast_join,
+    )
+
+    emb = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "d -> cast(pmod(hash(id, d), 1001) as double) / 500.0 - 1.0)"
+        ).alias("embedding"),
+    )
+    kw = dict(k=3, num_planes=8, dim=8)
+    shuffled = signlsh_topk(emb, emb, broadcast_queries=False, **kw)
+    assert not uses_broadcast_join(shuffled), "large-|Q| path must not broadcast"
+    broadcasted = signlsh_topk(emb, emb, broadcast_queries=True, **kw)
+    assert uses_broadcast_join(broadcasted)
+    got_s = {tuple(r) for r in shuffled.collect()}
+    got_b = {tuple(r) for r in broadcasted.collect()}
+    assert got_s == got_b and len(got_s) == 30_000
+
+
+def test_approx_stats_within_tolerance_of_exact(spark):
+    """Sketch forms (approx_percentile, HyperLogLog++) stay within the
+    documented tolerances of the exact forms on a skewed synthetic
+    (zipf-ish group sizes, heavy-tailed values) — the single-engine half
+    of the approx_stats contract."""
+    from hypergraph_gpu_label_propagation_spark.functions.stats import (
+        approx_distinct,
+        approx_quantiles,
+        stats_with_tolerance,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("g"),
+        # heavy tail: value = id mod a per-group-different modulus, cubed
+        F.pow(F.pmod(F.hash("id"), F.lit(97)).cast("double"), 3.0).alias("v"),
+        F.pmod(F.hash("id", F.lit(1)), (F.col("id") % 3 + 1) * 500).alias("k"),
+    )
+    out = stats_with_tolerance(
+        df, ["g"], "v", "k", probs=(0.5, 0.9), abs_tol=5000.0, rel_tol=0.15
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["p50_ok"] == 1 and r["p90_ok"] == 1 and r["distinct_ok"] == 1, dict(r.asDict())
+
+    # standalone sketch helpers return per-group rows with named columns
+    aq = approx_quantiles(df, ["g"], "v", (0.5, 0.9)).collect()
+    assert {r["g"] for r in aq} == {0, 1, 2} and "q50" in aq[0].asDict()
+    ad = {r["g"]: r["approx_distinct"] for r in approx_distinct(df, ["g"], "k").collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("k").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(ad[g] - n) <= 0.15 * n, (g, ad[g], n)
