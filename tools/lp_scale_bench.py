@@ -4,7 +4,16 @@ Reads a pre-generated incidence parquet (SAME input for every
 parallelism level), freezes it, runs a FIXED number of LP supersteps
 (fixed work, no convergence variance), prints one JSON line.
 
-Usage: python tools/lp_scale_bench.py <incidence_parquet> <cores> [supersteps]
+Usage: python tools/lp_scale_bench.py <incidence_parquet> <cores> \
+           [supersteps] [strategy] [ckpt_mode]
+
+``ckpt_mode`` selects the per-superstep lineage-truncation mechanism:
+- ``local``    (default) localCheckpoint to executor block storage;
+- ``reliable`` RDD checkpoint to a tmpfs dir (/dev/shm) — the A/B for
+  whether localCheckpoint's block-manager path is the fixed cost;
+- ``persist``  cache WITHOUT truncating lineage (plan grows per step —
+  measures how much of the fixed cost is the checkpoint itself vs the
+  growing analysis/codegen a checkpoint avoids).
 """
 
 from __future__ import annotations
@@ -28,8 +37,24 @@ def main() -> None:
     cores = int(sys.argv[2])
     supersteps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     strategy = sys.argv[4] if len(sys.argv) > 4 else "narrow"
+    ckpt_mode = sys.argv[5] if len(sys.argv) > 5 else "local"
 
     spark = get_spark("lp_scale_bench", cores=cores)
+    if ckpt_mode == "reliable":
+        spark.sparkContext.setCheckpointDir("/dev/shm/lp_scale_ckpt")
+
+    kept = []  # persist-mode: keep refs so caches aren't GC-evicted mid-loop
+
+    def truncate(df):
+        if ckpt_mode == "local":
+            return df.localCheckpoint(eager=True)
+        if ckpt_mode == "reliable":
+            return df.checkpoint(eager=True)
+        if ckpt_mode == "persist":
+            df = df.persist()
+            kept.append(df)
+            return df
+        raise ValueError(f"unknown ckpt_mode {ckpt_mode!r}")
     inc = spark.read.parquet(path)
     hg = Hypergraph.freeze(spark, inc)
     n_inc = hg.incidence_by_vertex.count()
@@ -42,9 +67,10 @@ def main() -> None:
     # (plans/tuning.py): AQE off, data-sized shuffle partitions
     with loop_conf(spark, loop_partitions(n_inc, cores)):
         # one untimed warmup superstep: JIT, codegen compile, page cache
-        warm = lp_superstep(hg, labels, 10, strategy).localCheckpoint(eager=True)
+        warm = truncate(lp_superstep(hg, labels, 10, strategy))
         warm.agg(F.sum("changed")).collect()
-        warm.unpersist()
+        if ckpt_mode != "persist":
+            warm.unpersist()
 
         per_step: list[float] = []
         total_changes = 0
@@ -53,11 +79,12 @@ def main() -> None:
             ts = time.monotonic()
             # timed steps are supersteps >= 2: labels are phase-2 output,
             # always in range (mirrors the label_propagation loop)
-            stepped = lp_superstep(
-                hg, labels, 10, strategy, labels_in_range=True
-            ).localCheckpoint(eager=True)
+            stepped = truncate(
+                lp_superstep(hg, labels, 10, strategy, labels_in_range=True)
+            )
             total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
-            labels.unpersist()
+            if ckpt_mode != "persist":
+                labels.unpersist()
             labels = stepped.select("vertex_id", "label")
             per_step.append(time.monotonic() - ts)
         wall = time.monotonic() - t0
@@ -65,6 +92,7 @@ def main() -> None:
     # median superstep time is robust to shared-host noise spikes
     med = sorted(per_step)[len(per_step) // 2]
     print(json.dumps({
+        "ckpt_mode": ckpt_mode,
         "strategy": strategy,
         "cores": cores,
         "supersteps": supersteps,
