@@ -643,6 +643,34 @@ def q_gen_fixed(spark, sf_dir):
     return fixed_hypergraph(spark, num_vertices=300, num_edges=500, edge_size=4, seed=7)
 
 
+def q_gen_planted(spark, sf_dir):
+    """Generator surface (G3): planted-partition hypergraph via the
+    hash-ranked sampler (intra-community bias + outside top-up, all md5
+    arithmetic) — DuckDB regenerates the identical incidence."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import (
+        planted_partition_hypergraph,
+    )
+
+    return planted_partition_hypergraph(
+        spark, num_vertices=500, num_edges=800, communities=8,
+        p_intra=0.85, seed=11,
+    )
+
+
+def q_gen_hsbm(spark, sf_dir):
+    """Generator surface (G4): hSBM rejection sampler via the hash-ranked
+    machinery.  Parameters chosen so the FIRST candidate pool suffices
+    (acceptance >= p_inter = 0.5 per candidate, pool = 4x edges), which
+    makes the driver's pool-doubling loop deterministic and the DuckDB
+    twin exact."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import hsbm_hypergraph
+
+    return hsbm_hypergraph(
+        spark, num_vertices=400, num_edges=300, communities=8,
+        p_intra=0.9, p_inter=0.5, min_edge_size=2, max_edge_size=4, seed=13,
+    )
+
+
 def q_source_files_hypergraph(spark, sf_dir):
     """Flagship derivation (input_hint): synthetic source_files table ->
     repo/commit hyperedges with the sha256 provenance invariant enforced
@@ -703,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_nations": q_set_ops_nations,
         "gen_uniform": q_gen_uniform,
         "gen_fixed": q_gen_fixed,
+        "gen_planted": q_gen_planted,
+        "gen_hsbm": q_gen_hsbm,
         "source_files_hypergraph": q_source_files_hypergraph,
     }
 
@@ -918,6 +948,139 @@ ranked AS (SELECT c.edge_id, c.vertex_id, k.k,
   FROM cand c JOIN k USING (edge_id))
 SELECT CAST(edge_id AS BIGINT) AS edge_id, CAST(vertex_id AS BIGINT) AS vertex_id
 FROM ranked WHERE rn <= k
+"""
+
+
+def _dh60(expr: str) -> str:
+    """DuckDB h60 twin of operators/dedup.py::h60."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_gen_planted(
+    num_vertices: int,
+    num_edges: int,
+    communities: int,
+    p_intra: float,
+    min_edge_size: int,
+    max_edge_size: int,
+    seed: int,
+) -> str:
+    """DuckDB twin of the hash-ranked planted-partition generator
+    (sources/generators.py::planted_partition_hypergraph): identical
+    k / intra / community draws, candidate pools, and rank hashes."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import (
+        candidate_window,
+    )
+
+    V, C, E = num_vertices, communities, num_edges
+    span = max_edge_size - min_edge_size + 1
+    W = candidate_window(max_edge_size)
+    p6 = int(round(p_intra * 1_000_000))
+    ev = "CAST(edge_id AS VARCHAR)"
+    sv = "CAST(slot AS VARCHAR)"
+    if V <= W:
+        uni_vid, uni_cap = "slot", V
+    else:
+        uni_expr = f"'{seed}:c:' || {ev} || ':' || {sv}"
+        uni_vid = f"{_dh60(uni_expr)} % {V}"
+        uni_cap = W
+    return f"""
+WITH e AS (SELECT UNNEST(generate_series(0, {E - 1})) AS edge_id),
+base AS (SELECT edge_id,
+  {min_edge_size} + {_dh60(f"'{seed}:k:' || {ev}")} % {span} AS k,
+  {_dh60(f"'{seed}:i:' || {ev}")} % 1000000 < {p6} AS intra,
+  ({_dh60(f"'{seed}:g:' || {ev}")} % {V}) % {C} AS c
+  FROM e),
+b2 AS (SELECT *, ({V} - c + {C} - 1) // {C} AS size_c FROM base),
+ex AS (SELECT * FROM b2, (SELECT UNNEST(generate_series(0, {W - 1})) AS slot) s),
+uni AS (SELECT edge_id, 0 AS pool, k AS take, {uni_vid} AS vertex_id
+  FROM ex WHERE NOT intra AND slot < {uni_cap}),
+ins AS (SELECT edge_id, 1 AS pool, LEAST(k, size_c) AS take,
+  (CASE WHEN size_c <= {W} THEN slot
+        ELSE {_dh60(f"'{seed}:a:' || {ev} || ':' || {sv}")} % size_c END) * {C} + c
+  AS vertex_id
+  FROM ex WHERE intra AND slot < LEAST({W}, size_c)),
+tb AS (SELECT edge_id, k, c, size_c,
+  CASE WHEN {V} - size_c <= {W} THEN slot
+       ELSE {_dh60(f"'{seed}:b:' || {ev} || ':' || {sv}")} % ({V} - size_c) END AS oi
+  FROM ex WHERE intra AND size_c < k AND slot < LEAST({W}, {V} - size_c)),
+tp AS (SELECT edge_id, 2 AS pool, k - size_c AS take,
+  (oi // {C - 1}) * {C}
+  + CASE WHEN oi % {C - 1} < c THEN oi % {C - 1} ELSE oi % {C - 1} + 1 END AS vertex_id
+  FROM tb),
+cand AS (SELECT DISTINCT edge_id, pool, take, vertex_id FROM
+  (SELECT * FROM uni UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM tp)),
+rk AS (SELECT edge_id, vertex_id, take,
+  ROW_NUMBER() OVER (PARTITION BY edge_id, pool ORDER BY
+    {_dh60(f"'{seed}:r:' || {ev} || ':' || CAST(vertex_id AS VARCHAR)")} ASC,
+    vertex_id ASC) AS rn
+  FROM cand)
+SELECT CAST(edge_id AS BIGINT) AS edge_id, CAST(vertex_id AS BIGINT) AS vertex_id
+FROM rk WHERE rn <= take
+"""
+
+
+def _sql_gen_hsbm(
+    num_vertices: int,
+    num_edges: int,
+    communities: int,
+    p_intra: float,
+    p_inter: float,
+    min_edge_size: int,
+    max_edge_size: int,
+    seed: int,
+) -> str:
+    """DuckDB twin of the hash-ranked hSBM generator: uniform candidate
+    members (hash stream ``seed:h``), set-wise monochromaticity, md5
+    acceptance coin, dense renumber of the first ``num_edges`` accepted.
+    Pins the FIRST candidate pool (``max(4*num_edges, 1000)``) — the
+    contract parameters are chosen so it suffices, which is a
+    deterministic property of the hashes, so the twin never diverges
+    from the Spark driver's pool-doubling loop."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import (
+        candidate_window,
+    )
+
+    V, C, E = num_vertices, communities, num_edges
+    span = max_edge_size - min_edge_size + 1
+    W = candidate_window(max_edge_size)
+    ncand = max(4 * E, 1000)
+    p6i = int(round(p_intra * 1_000_000))
+    p6o = int(round(p_inter * 1_000_000))
+    pre = f"{seed}:h"
+    cv = "CAST(cand_id AS VARCHAR)"
+    sv = "CAST(s.s AS VARCHAR)"
+    if V <= W:
+        n_slots, cand_expr = V, "s.s"
+    else:
+        n_slots = W
+        ce = f"'{pre}:c:' || {cv} || ':' || {sv}"
+        cand_expr = f"{_dh60(ce)} % {V}"
+    ke = f"'{pre}:k:' || {cv}"
+    re_ = (
+        f"'{pre}:r:' || CAST(c.cand_id AS VARCHAR) || ':' "
+        "|| CAST(c.vertex_id AS VARCHAR)"
+    )
+    xe = f"'{seed}:x:' || {cv}"
+    return f"""
+WITH e AS (SELECT UNNEST(generate_series(0, {ncand - 1})) AS cand_id),
+k AS (SELECT cand_id, {min_edge_size} + {_dh60(ke)} % {span} AS k FROM e),
+cand AS (SELECT DISTINCT e.cand_id, {cand_expr} AS vertex_id
+  FROM e, (SELECT UNNEST(generate_series(0, {n_slots - 1})) AS s) s),
+ranked AS (SELECT c.cand_id, c.vertex_id, k.k,
+    ROW_NUMBER() OVER (PARTITION BY c.cand_id ORDER BY
+      {_dh60(re_)} ASC,
+      c.vertex_id ASC) AS rn
+  FROM cand c JOIN k USING (cand_id)),
+inc AS (SELECT cand_id, vertex_id FROM ranked WHERE rn <= k),
+mono AS (SELECT cand_id, COUNT(DISTINCT vertex_id % {C}) = 1 AS m
+  FROM inc GROUP BY cand_id),
+keep AS (SELECT cand_id FROM mono
+  WHERE {_dh60(xe)} % 1000000 < CASE WHEN m THEN {p6i} ELSE {p6o} END),
+renum AS (SELECT cand_id, ROW_NUMBER() OVER (ORDER BY cand_id) - 1 AS edge_id
+  FROM keep)
+SELECT CAST(r.edge_id AS BIGINT) AS edge_id, CAST(i.vertex_id AS BIGINT) AS vertex_id
+FROM inc i JOIN renum r USING (cand_id) WHERE r.edge_id < {E}
 """
 
 
@@ -1366,6 +1529,8 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
     # so DuckDB regenerates the identical incidence (exact twins)
     oracles["gen_uniform"] = _sql_gen_uniform(500, 1000, 2, 5, 42)
     oracles["gen_fixed"] = _sql_gen_uniform(300, 500, 4, 4, 7)
+    oracles["gen_planted"] = _sql_gen_planted(500, 800, 8, 0.85, 2, 5, 11)
+    oracles["gen_hsbm"] = _sql_gen_hsbm(400, 300, 8, 0.9, 0.5, 2, 4, 13)
     # the streaming query in complete output mode emits every window, so
     # its result equals the batch twin's — same oracle verifies both
     oracles["events_stream"] = oracles["events_window"]

@@ -22,9 +22,11 @@ arithmetic, the DuckDB oracle reproduces the generator EXACTLY
 (``__spark_entry__._sql_gen_uniform``), and generation throughput is
 JVM-bound rather than per-edge-Python-rng-bound.
 
-Planted/hSBM keep the Arrow ``mapInPandas`` per-edge rng (their
-rejection/top-up logic is control-flow heavy); they remain pure
-functions of ``(seed, edge_id)``.
+Planted (G3) and hSBM (G4) reuse the same machinery: planted adds
+intra-community candidate pools with an outside top-up; hSBM draws
+candidate edges from the shared sampler, computes monochromaticity
+set-wise, and accepts via an md5 coin.  EVERY generator is therefore
+Python-free column expressions with an exact DuckDB twin.
 
 Generators:
 - uniform:  per edge k ~ U[min,max] (>=2), k distinct vertices uniform
@@ -46,29 +48,69 @@ Generators:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 INC_SCHEMA = "edge_id long, vertex_id long"
 
 
-def _edge_rng(seed: int, edge_id: int, tag: int = 0) -> np.random.Generator:
-    return np.random.default_rng([seed, tag, edge_id])
-
-
-def _sample_distinct(rng: np.random.Generator, population: int, k: int) -> np.ndarray:
-    k = min(k, population)
-    return rng.choice(population, size=k, replace=False)
-
-
 def candidate_window(max_edge_size: int) -> int:
     """Candidate-slot count for the hash-ranked sampler; shared with the
     DuckDB twin so both engines draw the identical candidate sets."""
     return 4 * max_edge_size + 32
+
+
+def _hash_members(
+    spark: SparkSession,
+    num_items: int,
+    num_vertices: int,
+    min_edge_size: int,
+    max_edge_size: int,
+    prefix: str,
+    id_name: str = "edge_id",
+) -> DataFrame:
+    """Shared hash-ranked sampler core (module docstring): for items
+    0..num_items-1, draw k ~ U[min,max] and the first k distinct
+    candidates by an independent rank hash.  ``prefix`` namespaces the
+    hash stream (plain seed for G1/G2, ``seed:h`` for hSBM candidates).
+    Pure column expressions; per-item window bounded by the candidate
+    window, partitioned by item id — parallel at any scale."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+
+    span = max_edge_size - min_edge_size + 1
+    window = candidate_window(max_edge_size)
+    eid = F.col(id_name).cast("string")
+    k = (
+        F.lit(min_edge_size)
+        + F.pmod(h60(F.concat(F.lit(f"{prefix}:k:"), eid)), F.lit(span))
+    ).cast("int")
+    if num_vertices <= window:
+        n_slots, cand = num_vertices, F.col("slot").cast("long")
+    else:
+        n_slots = window
+        cand = F.pmod(
+            h60(F.concat(F.lit(f"{prefix}:c:"), eid, F.lit(":"), F.col("slot").cast("string"))),
+            F.lit(num_vertices),
+        )
+    cands = (
+        spark.range(num_items)
+        .select(F.col("id").alias(id_name), k.alias("k"))
+        .select(
+            id_name, "k",
+            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("slot"),
+        )
+        .select(id_name, "k", cand.alias("vertex_id"))
+        .distinct()  # k is functionally dependent on the item id
+    )
+    rank_h = h60(
+        F.concat(F.lit(f"{prefix}:r:"), eid, F.lit(":"), F.col("vertex_id").cast("string"))
+    )
+    w = Window.partitionBy(id_name).orderBy(rank_h.asc(), F.col("vertex_id").asc())
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .select(id_name, "vertex_id")
+    )
 
 
 def uniform_hypergraph(
@@ -84,43 +126,8 @@ def uniform_hypergraph(
     distinct (k capped at num_vertices, hypergraph.cpp:129-145)."""
     if min_edge_size < 2 or max_edge_size < min_edge_size:
         raise ValueError("edge size bounds invalid (reference hypergraph.cpp:130-133)")
-    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
-
-    span = max_edge_size - min_edge_size + 1
-    window = candidate_window(max_edge_size)
-    eid = F.col("edge_id").cast("string")
-    k = (
-        F.lit(min_edge_size)
-        + F.pmod(h60(F.concat(F.lit(f"{seed}:k:"), eid)), F.lit(span))
-    ).cast("int")
-    if num_vertices <= window:
-        n_slots, cand = num_vertices, F.col("slot").cast("long")
-    else:
-        n_slots = window
-        cand = F.pmod(
-            h60(F.concat(F.lit(f"{seed}:c:"), eid, F.lit(":"), F.col("slot").cast("string"))),
-            F.lit(num_vertices),
-        )
-    cands = (
-        spark.range(num_edges)
-        .select(F.col("id").alias("edge_id"), k.alias("k"))
-        .select(
-            "edge_id", "k",
-            F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("slot"),
-        )
-        .select("edge_id", "k", cand.alias("vertex_id"))
-        .distinct()  # k is functionally dependent on edge_id
-    )
-    rank_h = h60(
-        F.concat(F.lit(f"{seed}:r:"), eid, F.lit(":"), F.col("vertex_id").cast("string"))
-    )
-    # per-edge window over <= max(window, num_vertices) rows — bounded,
-    # partitioned by edge_id, so it parallelizes across edges at any scale
-    w = Window.partitionBy("edge_id").orderBy(rank_h.asc(), F.col("vertex_id").asc())
-    return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("k"))
-        .select("edge_id", "vertex_id")
+    return _hash_members(
+        spark, num_edges, num_vertices, min_edge_size, max_edge_size, f"{seed}"
     )
 
 
@@ -146,43 +153,125 @@ def planted_partition_hypergraph(
 ) -> DataFrame:
     """community(v) = v % communities (hypergraph.cpp:178-179).  Members
     of community c are the arithmetic progression c, c+C, c+2C, ... so
-    in-community sampling needs no materialized pool."""
+    in-community sampling needs no materialized pool.
+
+    Hash-ranked form (same machinery as :func:`uniform_hypergraph`,
+    zero Python in the path, exact SQL twin):
+
+    - intra with prob ``h60(seed:i:e) % 10^6 < p_intra * 10^6``;
+    - size-weighted community pick ``c = (h60(seed:g:e) % V) % C``
+      (community of a uniform vertex, hypergraph.cpp:196-199);
+    - INSIDE pool: community-index candidates ``idx * C + c``; when the
+      community fits the candidate window every member is a candidate
+      (exact without-replacement sample), else ``window`` hash slots;
+      take ``min(k, size_c)`` ranked by the independent member hash;
+    - OUTSIDE top-up (hypergraph.cpp:206-217) when the community is
+      smaller than k: candidate index x over the non-community
+      vertices maps to ``block*C + (off if off < c else off+1)`` with
+      ``block, off = divmod(x, C-1)``; take ``k - size_c`` more;
+    - non-intra edges: plain uniform candidates (tag-separated hashes).
+    The inside/outside pools are disjoint by construction (inside
+    ``== c (mod C)``, outside ``!= c``), so per-pool top-k unions to a
+    distinct member set.
+    """
+    if min_edge_size < 2 or max_edge_size < min_edge_size:
+        raise ValueError("edge size bounds invalid (reference hypergraph.cpp:130-133)")
+    if communities < 1 or communities > num_vertices:
+        raise ValueError("communities must be in [1, num_vertices]")
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+
     C = communities
+    V = num_vertices
+    span = max_edge_size - min_edge_size + 1
+    window = candidate_window(max_edge_size)
+    eid = F.col("edge_id").cast("string")
+    sid = F.col("slot").cast("string")
 
-    def comm_size(c: int) -> int:
-        return (num_vertices - c + C - 1) // C
+    k = (
+        F.lit(min_edge_size)
+        + F.pmod(h60(F.concat(F.lit(f"{seed}:k:"), eid)), F.lit(span))
+    ).cast("int")
+    intra = (
+        F.pmod(h60(F.concat(F.lit(f"{seed}:i:"), eid)), F.lit(1_000_000))
+        < F.lit(int(round(p_intra * 1_000_000)))
+    )
+    comm = F.pmod(F.pmod(h60(F.concat(F.lit(f"{seed}:g:"), eid)), F.lit(V)), F.lit(C))
+    # size of community c: ceil((V - c) / C) — `div` (exact integer
+    # division, no double round-trip) so ids stay exact at any scale
+    size_c = F.expr(f"({V} - c + {C} - 1) div {C}").cast("long")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            eids, vids = [], []
-            for e in pdf["id"].to_numpy():
-                rng = _edge_rng(seed, int(e))
-                k = int(rng.integers(min_edge_size, max_edge_size + 1))
-                if rng.random() < p_intra:
-                    # size-weighted community pick = community of a uniform vertex
-                    c = int(rng.integers(0, num_vertices)) % C
-                    size_c = comm_size(c)
-                    take = min(k, size_c)
-                    inside = rng.choice(size_c, size=take, replace=False) * C + c
-                    members = inside
-                    if take < k:  # top up from outside (hypergraph.cpp:206-217)
-                        outside_pop = num_vertices - size_c
-                        extra_idx = rng.choice(outside_pop, size=k - take, replace=False)
-                        # map index over non-community vertices to vertex ids
-                        extras = []
-                        for x in extra_idx:
-                            # x-th vertex whose id % C != c
-                            block, off = divmod(int(x), C - 1)
-                            vid = block * C + (off if off < c else off + 1)
-                            extras.append(vid)
-                        members = np.concatenate([inside, np.array(extras, dtype=np.int64)])
-                else:
-                    members = _sample_distinct(rng, num_vertices, k)
-                eids.extend([int(e)] * len(members))
-                vids.extend(np.asarray(members, dtype=np.int64).tolist())
-            yield pd.DataFrame({"edge_id": eids, "vertex_id": vids})
+    edges = spark.range(num_edges).select(
+        F.col("id").alias("edge_id"), k.alias("k"), intra.alias("intra"), comm.alias("c")
+    ).select("edge_id", "k", "intra", "c", size_c.alias("size_c"))
 
-    return spark.range(num_edges).mapInPandas(gen, INC_SCHEMA)
+    ex = edges.select(
+        "edge_id", "k", "intra", "c", "size_c",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("slot"),
+    )
+
+    # pool 0 = global uniform (non-intra), 1 = inside community, 2 = top-up
+    if V <= window:  # exact without-replacement: every vertex is a candidate
+        uni_vid, uni_cap = F.col("slot").cast("long"), F.lit(V)
+    else:
+        uni_vid = F.pmod(
+            h60(F.concat(F.lit(f"{seed}:c:"), eid, F.lit(":"), sid)), F.lit(V)
+        )
+        uni_cap = F.lit(window)
+    in_idx = F.when(
+        F.col("size_c") <= window, F.col("slot").cast("long")
+    ).otherwise(
+        F.pmod(h60(F.concat(F.lit(f"{seed}:a:"), eid, F.lit(":"), sid)), F.col("size_c"))
+    )
+    out_pop = F.lit(V) - F.col("size_c")
+    out_idx = F.when(
+        out_pop <= window, F.col("slot").cast("long")
+    ).otherwise(
+        F.pmod(h60(F.concat(F.lit(f"{seed}:b:"), eid, F.lit(":"), sid)), out_pop)
+    )
+    uni_cand = ex.filter(~F.col("intra") & (F.col("slot") < uni_cap)).select(
+        "edge_id", F.lit(0).alias("pool"), F.col("k").cast("long").alias("take"),
+        uni_vid.alias("vertex_id"),
+    )
+    inside_cand = ex.filter(
+        F.col("intra") & (F.col("slot") < F.least(F.lit(window), F.col("size_c")))
+    ).select(
+        "edge_id", F.lit(1).alias("pool"),
+        F.least(F.col("k").cast("long"), F.col("size_c")).alias("take"),
+        (in_idx * C + F.col("c")).cast("long").alias("vertex_id"),
+    )
+    # top-up: materialize the candidate index as a column first so the
+    # exact integer div/mod below reference it by name
+    topup_base = ex.filter(
+        F.col("intra") & (F.col("size_c") < F.col("k"))
+        & (F.col("slot") < F.least(F.lit(window), out_pop))
+    ).select("edge_id", "k", "c", "size_c", out_idx.cast("long").alias("_oi"))
+    if C > 1:
+        blk = F.expr(f"_oi div {C - 1}")
+        off = F.pmod(F.col("_oi"), F.lit(C - 1))
+    else:  # degenerate: no outside pool exists (topup_base is empty)
+        blk, off = F.lit(0), F.lit(0)
+    topup_cand = topup_base.select(
+        "edge_id", F.lit(2).alias("pool"),
+        (F.col("k").cast("long") - F.col("size_c")).alias("take"),
+        (blk * C + F.when(off < F.col("c"), off).otherwise(off + 1))
+        .cast("long").alias("vertex_id"),
+    )
+    cands = (
+        uni_cand.unionByName(inside_cand).unionByName(topup_cand)
+        .select("edge_id", "pool", "take", "vertex_id")
+        .distinct()
+    )
+    rank_h = h60(
+        F.concat(F.lit(f"{seed}:r:"), eid, F.lit(":"), F.col("vertex_id").cast("string"))
+    )
+    w = Window.partitionBy("edge_id", "pool").orderBy(
+        rank_h.asc(), F.col("vertex_id").asc()
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("take"))
+        .select("edge_id", "vertex_id")
+    )
 
 
 def hsbm_hypergraph(
@@ -199,25 +288,39 @@ def hsbm_hypergraph(
     """Rejection sampling (hypergraph.cpp:238-285): keep the first
     ``num_edges`` accepted candidates in candidate order, re-numbered
     densely.  The driver doubles the candidate pool until enough accept
-    (the reference instead aborts after max(20m, 1000) attempts)."""
+    (the reference instead aborts after max(20m, 1000) attempts).
+
+    Hash-ranked form: candidate members come from the shared sampler
+    (:func:`_hash_members`, hash stream ``seed:h``); a candidate is
+    monochromatic iff all members share ``v % C``; acceptance draws
+    ``h60(seed:x:cand) % 10^6 < p * 10^6`` with p = p_intra/p_inter by
+    monochromaticity — all md5 arithmetic, so the DuckDB twin
+    regenerates the identical hypergraph when the first candidate pool
+    suffices (the contract query pins such parameters)."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+
     C = communities
 
     def accepted(candidates: int) -> DataFrame:
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                cids, eids, vids = [], [], []
-                for cand in pdf["id"].to_numpy():
-                    rng = _edge_rng(seed, int(cand), tag=1)
-                    k = int(rng.integers(min_edge_size, max_edge_size + 1))
-                    members = _sample_distinct(rng, num_vertices, k)
-                    mono = len(set(int(v) % C for v in members)) == 1
-                    p = p_intra if mono else p_inter
-                    if rng.random() < p:
-                        cids.extend([int(cand)] * len(members))
-                        vids.extend(members.tolist())
-                yield pd.DataFrame({"cand_id": cids, "vertex_id": vids})
-
-        return spark.range(candidates).mapInPandas(gen, "cand_id long, vertex_id long")
+        inc = _hash_members(
+            spark, candidates, num_vertices, min_edge_size, max_edge_size,
+            f"{seed}:h", id_name="cand_id",
+        )
+        mono = (
+            inc.groupBy("cand_id")
+            .agg(F.count_distinct(F.pmod("vertex_id", F.lit(C))).alias("_nc"))
+            .select("cand_id", (F.col("_nc") == 1).alias("_mono"))
+        )
+        p6_intra = int(round(p_intra * 1_000_000))
+        p6_inter = int(round(p_inter * 1_000_000))
+        draw = F.pmod(
+            h60(F.concat(F.lit(f"{seed}:x:"), F.col("cand_id").cast("string"))),
+            F.lit(1_000_000),
+        )
+        keep = mono.filter(
+            draw < F.when(F.col("_mono"), F.lit(p6_intra)).otherwise(F.lit(p6_inter))
+        ).select("cand_id")
+        return inc.join(keep, "cand_id")
 
     n_cand = max(4 * num_edges, 1000)
     n_acc = 0

@@ -210,6 +210,10 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
         .join(node_sids.select("sid"), "sid", "left_anti")
     )
     n_nodes = node_sids.count()
+    # global window over the ID MAP (one row per distinct vertex string,
+    # not per incidence row) — the warning it logs is benign at this
+    # size; if an input ever has >10^7 distinct vertex strings, switch
+    # to dense_ids' range-partitioned rank (source_files.py)
     w = Window.orderBy(F.col("first.edge_id"), F.col("first.mpos"))
     idmap = node_sids.select("sid", F.col("pos").cast("long").alias("vid")).unionByName(
         first_edge_seen.select(

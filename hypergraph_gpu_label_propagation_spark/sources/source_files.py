@@ -110,6 +110,10 @@ def dense_ids(df: DataFrame, cols: list[str], out: str, buckets: int = 256) -> D
         .withColumn("_rn", F.row_number().over(w) - 1)
     )
     counts = ranked.groupBy("_b").agg(F.count("*").alias("_n"))
+    # BOUNDED global window: `counts` has exactly one row per range
+    # bucket (<= `buckets` <= 256 rows by construction), so the
+    # "WindowExec: No Partition Defined" warning it triggers is benign —
+    # this is the broadcast-offsets step, never data-sized
     woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select("_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
     return (

@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
@@ -66,23 +67,36 @@ def main() -> None:
     # same loop-scoped tuning the label_propagation driver applies
     # (plans/tuning.py): AQE off, data-sized shuffle partitions
     with loop_conf(spark, loop_partitions(n_inc, cores)):
-        # one untimed warmup superstep: JIT, codegen compile, page cache
-        warm = truncate(lp_superstep(hg, labels, 10, strategy))
-        warm.agg(F.sum("changed")).collect()
-        if ckpt_mode != "persist":
-            warm.unpersist()
+        # untimed warmup supersteps: C2 JIT + codegen compile + page cache
+        # (measured: the first 3-5 supersteps at 32 cores run 3-6x slower
+        # than steady state purely from JIT warm-in; on a real cluster a
+        # 100 TB run amortizes this in the first fraction of a percent of
+        # the job, so steady-state is the honest cluster proxy)
+        for _ in range(3):
+            warm = truncate(lp_superstep(hg, labels, 10, strategy))
+            warm.agg(F.sum("changed")).collect()
+            if ckpt_mode != "persist":
+                warm.unpersist()
 
         per_step: list[float] = []
         total_changes = 0
         t0 = time.monotonic()
-        for _ in range(supersteps):
+        for i in range(supersteps):
             ts = time.monotonic()
             # timed steps are supersteps >= 2: labels are phase-2 output,
-            # always in range (mirrors the label_propagation loop)
-            stepped = truncate(
-                lp_superstep(hg, labels, 10, strategy, labels_in_range=True)
-            )
-            total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
+            # always in range (mirrors the label_propagation loop).
+            # change-count rides the checkpoint job via observe() — ONE
+            # action per superstep, exactly like the production loop
+            # (a separate agg action was a constant extra job per step
+            # that dragged scaling efficiency at every level).
+            step = lp_superstep(hg, labels, 10, strategy, labels_in_range=True)
+            if ckpt_mode == "persist":  # no eager action to fuse into
+                stepped = truncate(step)
+                total_changes += int(stepped.agg(F.sum("changed")).collect()[0][0] or 0)
+            else:
+                obs = Observation(f"scale_{i}")
+                stepped = truncate(step.observe(obs, F.sum("changed").alias("ch")))
+                total_changes += int(obs.get["ch"] or 0)
             if ckpt_mode != "persist":
                 labels.unpersist()
             labels = stepped.select("vertex_id", "label")
