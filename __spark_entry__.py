@@ -166,6 +166,31 @@ def q_edge_sizes(spark, sf_dir):
     )
 
 
+def q_graph_profile(spark, sf_dir):
+    """Graph-profiling surface: log2-bucketed vertex-degree and
+    edge-size histograms with per-bucket extrema — the first query a
+    10^12-file hypergraph needs (it drives the partition-count and
+    skew-strategy choices in plans/tuning.py and plans/skew.py).  Pure
+    narrow aggregation chain: two groupBys, no joins."""
+    inc = _incidence(spark, sf_dir)
+
+    def hist(df, key, kind):
+        deg = df.groupBy(key).agg(F.count("*").alias("d"))
+        return deg.select(
+            F.lit(kind).alias("kind"),
+            F.floor(F.log2("d")).cast("int").alias("bucket"),
+            F.col("d"),
+        ).groupBy("kind", "bucket").agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("d").cast("long").alias("min_count"),
+            F.max("d").cast("long").alias("max_count"),
+        )
+
+    return hist(inc, "vertex_id", "vertex_degree").unionByName(
+        hist(inc, "edge_id", "edge_size")
+    )
+
+
 def q_lp_edge_majority(spark, sf_dir):
     inc = _incidence(spark, sf_dir)
     labels = _labels0(spark, _nv(spark, sf_dir))
@@ -694,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incidence_build": q_incidence,
         "vertex_degrees": q_vertex_degrees,
         "edge_sizes": q_edge_sizes,
+        "graph_profile": q_graph_profile,
         "lp_edge_majority": q_lp_edge_majority,
         "lp_superstep": q_lp_superstep,
         "lp_superstep_weighted": q_lp_superstep_weighted,
@@ -1136,6 +1162,18 @@ def oracle_sql() -> dict[str, str]:
         "lp_edge_majority": (
             f"WITH {_SQL_INC}, {_SQL_UNI}, {_SQL_LAB0}, {_SQL_EDGE_MAJ} "
             "SELECT edge_id, label FROM emaj"
+        ),
+        "graph_profile": (
+            f"WITH {_SQL_INC}, "
+            "vd AS (SELECT COUNT(*) AS d FROM inc GROUP BY vertex_id), "
+            "es AS (SELECT COUNT(*) AS d FROM inc GROUP BY edge_id) "
+            "SELECT 'vertex_degree' AS kind, CAST(FLOOR(LOG2(d)) AS INT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(d) AS BIGINT) AS min_count, "
+            "CAST(MAX(d) AS BIGINT) AS max_count FROM vd GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'edge_size', CAST(FLOOR(LOG2(d)) AS INT), "
+            "CAST(COUNT(*) AS BIGINT), CAST(MIN(d) AS BIGINT), "
+            "CAST(MAX(d) AS BIGINT) FROM es GROUP BY 2"
         ),
         "lp_superstep": _sql_lp_superstep_body(),
         "lp_superstep_weighted": (

@@ -59,6 +59,13 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus)
 
     queries = entrymod.queries()
+    # untimed session warm-up: C2 JIT + codegen cold-start otherwise
+    # lands entirely on whichever query runs first (in r02 lp_superstep
+    # absorbed ~10 s of it, reading as a per-query regression).  Warm
+    # with the superstep path itself — freeze, joins, aggs, windows.
+    queries["lp_superstep"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()

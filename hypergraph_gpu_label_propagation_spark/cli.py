@@ -48,8 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label-classes", type=int, default=0,
                    help="0 -> default bound of 10 (argparse.cpp:277)")
     p.add_argument("--label-seed", type=int, default=42)
-    p.add_argument("--algo", choices=["lp", "pagerank", "cc", "triangles"],
+    p.add_argument("--algo",
+                   choices=["lp", "pagerank", "cc", "triangles", "kcore", "coreness"],
                    default="lp", help="which analytics kernel to run")
+    p.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     p.add_argument("-i", "--iterations", type=int, default=100)
     p.add_argument("-t", "--tolerance", type=float, default=1e-6)
     p.add_argument("--weighted", action="store_true",
@@ -173,6 +175,24 @@ def main(argv: list[str] | None = None) -> int:
         out_df, iterations, converged = res.components, res.iterations, res.converged
         extra = {
             "n_components": out_df.select("component").distinct().count(),
+        }
+    elif args.algo == "kcore":
+        from hypergraph_gpu_label_propagation_spark.operators.kcore import k_core
+
+        res = k_core(hg, k=args.k)
+        out_df, iterations, converged = res.membership, res.iterations, True
+        extra = {"k": args.k, "core_size": res.core_size,
+                 "removed_per_iter": res.removed_per_iter}
+    elif args.algo == "coreness":
+        from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+        res = coreness(hg)
+        out_df, iterations, converged = res.coreness, res.iterations, True
+        extra = {
+            "max_coreness": int(
+                out_df.agg(F.max("coreness")).collect()[0][0] or 0
+            ),
+            "changes_per_iter": res.changes_per_iter,
         }
     else:  # triangles
         from hypergraph_gpu_label_propagation_spark.operators.triangles import triangle_count

@@ -129,29 +129,48 @@ def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
         adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # frontier: h(u) can only change when some neighbor's value changed
+    # last round, so a round may recompute the h-index ONLY for vertices
+    # adjacent to the previous round's changed set.  ADAPTIVE: the two
+    # pruning semi-joins cost ~an adj scan each, so they only pay off
+    # once the frontier is small — measured on the sf0.1 co-occurrence
+    # graph, change counts do NOT decay monotonically (near-clique
+    # collapse re-expands the frontier late), so the full recompute is
+    # kept whenever |changed| >= 5% of vertices.
+    changed = state.select("u")
+    n_state = state.count()
+    changes = n_state  # round 0 treats everything as changed
     iterations = 0
     changes_per_iter: list[int] = []
     cores = hg.spark.sparkContext.defaultParallelism
     w = Window.partitionBy("u").orderBy(F.col("c").desc())
     with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
         for _ in range(max_iterations):
-            nb = adj.join(
-                state.select(F.col("u").alias("v"), "c"), "v"
-            ).select("u", "c")
+            if changes < 0.05 * n_state:
+                affected = (
+                    adj.join(changed.select(F.col("u").alias("v")), "v", "left_semi")
+                    .select("u").distinct()
+                )
+                scope = adj.join(affected, "u", "left_semi")
+            else:
+                scope = adj
+            nb = (
+                scope.join(state.select(F.col("u").alias("v"), "c"), "v")
+                .select("u", "c")
+            )
             h = (
                 nb.withColumn("_rn", F.row_number().over(w))
                 .groupBy("u")
                 .agg(F.max(F.least(F.col("c"), F.col("_rn"))).cast("int").alias("_h"))
             )
             obs = Observation(f"coreness_{iterations}")
-            # every u in state has >= 1 neighbor (state is built FROM adj),
-            # so the inner join is total
+            # left join: vertices outside the frontier keep their value
             new_state = (
-                state.join(h, "u")
+                state.join(h, "u", "left")
                 .select(
                     "u",
-                    F.col("_h").alias("c"),
-                    (F.col("_h") != F.col("c")).cast("int").alias("_ch"),
+                    F.coalesce("_h", F.col("c")).alias("c"),
+                    (F.coalesce("_h", F.col("c")) != F.col("c")).cast("int").alias("_ch"),
                 )
                 .observe(obs, F.sum("_ch").alias("ch"))
                 .localCheckpoint(eager=True)
@@ -159,6 +178,7 @@ def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
             changes = int(obs.get["ch"] or 0)
             state.unpersist()
             state = new_state.select("u", "c")
+            changed = new_state.filter(F.col("_ch") == 1).select("u")
             iterations += 1
             changes_per_iter.append(changes)
             if changes == 0:
