@@ -292,6 +292,67 @@ def q_pagerank_converged(spark, sf_dir):
     return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 
 
+SUPP_OFFSET = 1_000_000  # part and supplier key ranges overlap — disjoin them
+
+
+def _edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed part -> supplier edge table (the north rule's literal
+    'link graph over an edge table' reading; offset keeps the two id
+    ranges disjoint)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_edges_pagerank(spark, sf_dir):
+    """Directed PageRank over the plain edge table
+    (operators/digraph.py::pagerank_edges — out-degree normalized,
+    dangling mass redistributed, tol=1e-7 L1 stopping rule); oracle is
+    the same recursive-CTE pattern as pagerank_converged, directed."""
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import pagerank_edges
+
+    res = pagerank_edges(_edge_table(spark, sf_dir), damping=DAMPING, tol=1e-7)
+    return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
+
+
+def q_edges_cc(spark, sf_dir):
+    """Connected components over the plain edge table (undirected
+    semantics: symmetrized adjacency, min-label propagation +
+    pointer jumping)."""
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import (
+        connected_components_edges,
+    )
+
+    res = connected_components_edges(_edge_table(spark, sf_dir))
+    return res.components.select("vertex_id", F.col("component").cast("long"))
+
+
+def q_edges_triangles(spark, sf_dir):
+    """Triangle count over a plain edge table with actual triangles
+    (same-order part pairs — the clique-expanded co-occurrence edges)."""
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import (
+        triangle_count_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    )
+    edges = (
+        li.alias("a").join(li.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return triangle_count_edges(edges).select(
+        F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
 def q_kcore(spark, sf_dir):
     """k-core (k=90) of the co-occurrence graph by iterative peeling
     (operators/kcore.py); at sf0.01 this takes 4 peel rounds to a
@@ -730,6 +791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "kcore": q_kcore,
         "coreness": q_coreness,
+        "edges_pagerank": q_edges_pagerank,
+        "edges_cc": q_edges_cc,
+        "edges_triangles": q_edges_triangles,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "near_dup": q_near_dup,
@@ -1110,6 +1174,54 @@ FROM inc i JOIN renum r USING (cand_id) WHERE r.edge_id < {E}
 """
 
 
+_SQL_ED = (
+    "ed AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src, "
+    f"CAST(l_suppkey AS BIGINT) + {SUPP_OFFSET} AS dst FROM lineitem)"
+)
+# NOTE: inside WITH RECURSIVE, DuckDB treats a plain `a UNION b` CTE
+# body as a (degenerate) recursive union and does NOT global-dedup it —
+# spell the dedup explicitly as DISTINCT over UNION ALL
+_SQL_EUNI = (
+    "euni AS MATERIALIZED (SELECT DISTINCT vertex_id FROM "
+    "(SELECT src AS vertex_id FROM ed UNION ALL SELECT dst FROM ed))"
+)
+
+
+def _sql_edges_pagerank(tol: float = 1e-7, max_iterations: int = 100) -> str:
+    """Directed-edge-table twin of pagerank_converged's recursive CTE:
+    out-degree-normalized contributions along src->dst, dangling mass
+    from vertices with no out-edges, identical L1 stopping rule."""
+    d = DAMPING
+    return f"""
+WITH RECURSIVE
+{_SQL_ED},
+{_SQL_EUNI},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM euni),
+invout AS MATERIALIZED (SELECT src, 1.0 / COUNT(*) AS io FROM ed GROUP BY src),
+it(k, vertex_id, rank, prev) AS (
+  SELECT 0, u.vertex_id, 1.0 / n.n, CAST(0.0 AS DOUBLE)
+  FROM euni u CROSS JOIN nn n
+  UNION ALL
+  SELECT s.k + 1, c.vertex_id,
+         (1 - {d}) / n.n + {d} * (s.dm / n.n) + {d} * COALESCE(g.g, 0) AS rank,
+         c.rank AS prev
+  FROM it c
+  CROSS JOIN nn n
+  CROSS JOIN (SELECT MAX(k) AS k, SUM(ABS(rank - prev)) AS dl,
+                COALESCE(SUM(CASE WHEN vertex_id NOT IN
+                  (SELECT src FROM invout) THEN rank END), 0) AS dm
+              FROM it) s
+  LEFT JOIN (SELECT e.dst AS vertex_id, SUM(c2.rank * io.io) AS g
+             FROM ed e JOIN it c2 ON c2.vertex_id = e.src
+             JOIN invout io ON io.src = e.src
+             GROUP BY e.dst) g USING (vertex_id)
+  WHERE s.dl >= {tol} AND s.k < {max_iterations}
+)
+SELECT vertex_id, ROUND(rank, 6) AS rank
+FROM it WHERE k = (SELECT MAX(k) FROM it)
+"""
+
+
 def _sql_minhash_sig_cte() -> str:
     """doc -> (doc_id, mh0..mh7) as CTEs: toks/shingles/hash/sig."""
     coeffs = minhash_coeffs(8)
@@ -1263,6 +1375,28 @@ it(k, u, c, prev) AS (
 fin AS (SELECT u, c FROM it WHERE k = (SELECT MAX(k) FROM it))
 SELECT u2.vertex_id, CAST(COALESCE(f.c, 0) AS INT) AS coreness
 FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
+        ),
+        "edges_pagerank": _sql_edges_pagerank(),
+        "edges_cc": (
+            f"WITH RECURSIVE {_SQL_ED}, {_SQL_EUNI}, "
+            "adj AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM ed "
+            "  UNION ALL SELECT dst, src FROM ed)), "
+            "reach(u, v) AS (SELECT u, v FROM adj "
+            "  UNION SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u), "
+            "comp AS (SELECT u AS vertex_id, MIN(v) AS c FROM reach GROUP BY u) "
+            "SELECT x.vertex_id, "
+            "CAST(LEAST(x.vertex_id, COALESCE(comp.c, x.vertex_id)) AS BIGINT) "
+            "AS component "
+            "FROM euni x LEFT JOIN comp USING (vertex_id)"
+        ),
+        "edges_triangles": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, "
+            "  CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "adj AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a "
+            "  JOIN li b ON a.o = b.o AND a.p < b.p) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM adj e1 JOIN adj e2 ON e1.v = e2.u "
+            "JOIN adj e3 ON e3.u = e1.u AND e3.v = e2.v"
         ),
         "triangle_count": (
             f"WITH {_SQL_INC}, "
