@@ -353,6 +353,26 @@ def q_edges_triangles(spark, sf_dir):
     )
 
 
+def q_lp_edges(spark, sf_dir):
+    """Reference LP semantics on a PAIRWISE graph (digraph.py::lp_edges:
+    every (src,dst) row is a size-2 hyperedge) over the same-order part
+    co-occurrence edges — the edge-table face of the LP engine; oracle
+    is the unrolled fixed-point CTE with the pairwise incidence."""
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import lp_edges
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    )
+    edges = (
+        li.alias("a").join(li.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    res = lp_edges(edges, _labels0(spark, _nv(spark, sf_dir)), max_labels=MAX_LABELS)
+    return res.labels
+
+
 def q_kcore(spark, sf_dir):
     """k-core (k=90) of the co-occurrence graph by iterative peeling
     (operators/kcore.py); at sf0.01 this takes 4 peel rounds to a
@@ -791,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "kcore": q_kcore,
         "coreness": q_coreness,
+        "lp_edges": q_lp_edges,
         "edges_pagerank": q_edges_pagerank,
         "edges_cc": q_edges_cc,
         "edges_triangles": q_edges_triangles,
@@ -871,7 +892,11 @@ def _sql_pagerank_2iter() -> str:
     )
 
 
-def _sql_lp_converged(max_supersteps: int = 12) -> str:
+def _sql_lp_converged(
+    max_supersteps: int = 12,
+    inc_sql: str | None = None,
+    uni_sql: str | None = None,
+) -> str:
     """LP-to-convergence twin: unroll ``max_supersteps`` supersteps of the
     majority CTE chain.  Labels reach a fixed point once changes = 0 (the
     tol=1e-6 stopping rule at these vertex counts), so any unroll depth
@@ -879,11 +904,9 @@ def _sql_lp_converged(max_supersteps: int = 12) -> str:
     verified K=10 vs K=12 identical) yields exactly the converged labels.
     MATERIALIZED pins DuckDB to evaluate each shared CTE once — without it
     the chain re-derives `inc` per reference (30 s -> 0.8 s at sf0.01)."""
-    ctes = [
-        _SQL_INC.replace("inc AS (", "inc AS MATERIALIZED ("),
-        _SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED ("),
-        _SQL_LAB0,
-    ]
+    inc_sql = (inc_sql or _SQL_INC).replace("inc AS (", "inc AS MATERIALIZED (")
+    uni_sql = (uni_sql or _SQL_UNI).replace("uni AS (", "uni AS MATERIALIZED (")
+    ctes = [inc_sql, uni_sql, _SQL_LAB0]
     prev = "lab0"
     for k in range(1, max_supersteps + 1):
         ctes.append(
@@ -1375,6 +1398,16 @@ it(k, u, c, prev) AS (
 fin AS (SELECT u, c FROM it WHERE k = (SELECT MAX(k) FROM it))
 SELECT u2.vertex_id, CAST(COALESCE(f.c, 0) AS INT) AS coreness
 FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
+        ),
+        "lp_edges": _sql_lp_converged(
+            inc_sql=(
+                "pe AS MATERIALIZED (SELECT ROW_NUMBER() OVER () AS edge_id, u, v "
+                "  FROM (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+                "        FROM lineitem a JOIN lineitem b "
+                "        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)), "
+                "inc AS (SELECT edge_id, CAST(u AS BIGINT) AS vertex_id FROM pe "
+                "  UNION ALL SELECT edge_id, CAST(v AS BIGINT) FROM pe)"
+            )
         ),
         "edges_pagerank": _sql_edges_pagerank(),
         "edges_cc": (

@@ -186,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "coreness":
         from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
 
-        res = coreness(hg)
+        res = coreness(hg, checkpoint_dir=args.checkpoint_dir, resume=args.resume)
         out_df, iterations, converged = res.coreness, res.iterations, True
         extra = {
             "max_coreness": int(

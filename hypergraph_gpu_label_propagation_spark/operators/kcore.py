@@ -109,7 +109,12 @@ class CorenessResult:
     changes_per_iter: list[int] = field(default_factory=list)
 
 
-def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
+def coreness(
+    hg: Hypergraph,
+    max_iterations: int = 500,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> CorenessResult:
     """Per-vertex core number of the co-occurrence graph (full k-core
     decomposition) by the iterated h-index fixed point (module doc).
 
@@ -125,10 +130,24 @@ def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
 
-    state = (
-        adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    start = 0
+    state = None
+    if resume and checkpoint_dir:
+        from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
+            find_latest_snapshot,
+        )
+
+        found = find_latest_snapshot(hg.spark, checkpoint_dir, "coreness")
+        if found is not None:
+            snap, start = found
+            state = snap.select("u", "c").localCheckpoint(eager=True)
+            resumed_changed = snap.filter(F.col("_ch") == 1).select("u")
+    if state is None:
+        state = (
+            adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        resumed_changed = None
     # frontier: h(u) can only change when some neighbor's value changed
     # last round, so a round may recompute the h-index ONLY for vertices
     # adjacent to the previous round's changed set.  ADAPTIVE: the two
@@ -137,15 +156,17 @@ def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
     # graph, change counts do NOT decay monotonically (near-clique
     # collapse re-expands the frontier late), so the full recompute is
     # kept whenever |changed| >= 5% of vertices.
-    changed = state.select("u")
+    changed = resumed_changed if resumed_changed is not None else state.select("u")
     n_state = state.count()
-    changes = n_state  # round 0 treats everything as changed
-    iterations = 0
+    changes = (
+        changed.count() if resumed_changed is not None else n_state
+    )  # fresh run: round 0 treats everything as changed
+    iterations = start
     changes_per_iter: list[int] = []
     cores = hg.spark.sparkContext.defaultParallelism
     w = Window.partitionBy("u").orderBy(F.col("c").desc())
     with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
-        for _ in range(max_iterations):
+        for _ in range(start, max_iterations):
             if changes < 0.05 * n_state:
                 affected = (
                     adj.join(changed.select(F.col("u").alias("v")), "v", "left_semi")
@@ -181,6 +202,16 @@ def coreness(hg: Hypergraph, max_iterations: int = 500) -> CorenessResult:
             changed = new_state.filter(F.col("_ch") == 1).select("u")
             iterations += 1
             changes_per_iter.append(changes)
+            if checkpoint_dir:
+                from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
+                    write_snapshot,
+                )
+
+                # _ch rides the snapshot so a resume rebuilds the frontier
+                write_snapshot(
+                    new_state, checkpoint_dir, "coreness", iterations,
+                    {"op": "coreness", "superstep": iterations, "changes": changes},
+                )
             if changes == 0:
                 break
     out = (

@@ -48,3 +48,22 @@ def test_cc_resume(spark, tmp_path):
     assert got == want
     assert resumed.converged
     hg.unpersist()
+
+
+def test_coreness_resume(spark, tmp_path):
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    hg = _hg(spark, seed=7, nv=60, ne=120)
+    full = coreness(hg)
+    want = {r["vertex_id"]: r["coreness"] for r in full.coreness.collect()}
+    assert full.iterations > 2, "fixture must need >2 rounds for a real resume"
+
+    ckpt = str(tmp_path / "core")
+    coreness(hg, max_iterations=2, checkpoint_dir=ckpt)
+    resumed = coreness(hg, checkpoint_dir=ckpt, resume=True)
+    got = {r["vertex_id"]: r["coreness"] for r in resumed.coreness.collect()}
+    assert got == want
+    # resumed run continued from superstep 2, not from scratch
+    assert resumed.iterations == full.iterations
+    assert len(resumed.changes_per_iter) == full.iterations - 2
+    hg.unpersist()
