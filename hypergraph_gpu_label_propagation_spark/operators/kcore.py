@@ -164,7 +164,11 @@ def coreness(
     iterations = start
     changes_per_iter: list[int] = []
     cores = hg.spark.sparkContext.defaultParallelism
-    w = Window.partitionBy("u").orderBy(F.col("c").desc())
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
         for _ in range(start, max_iterations):
             if changes < 0.05 * n_state:
@@ -179,10 +183,17 @@ def coreness(
                 scope.join(state.select(F.col("u").alias("v"), "c"), "v")
                 .select("u", "c")
             )
+            # h-index from the VALUE HISTOGRAM instead of ranking every
+            # neighbor row: h(u) = max over distinct values c of
+            # min(c, #neighbors with value >= c) — the groupBy shrinks
+            # the window input from deg(u) rows to the (bounded, <=
+            # min(deg, max_value)) distinct-value count, and the partial
+            # aggregation absorbs high-degree skew before the shuffle
+            cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
             h = (
-                nb.withColumn("_rn", F.row_number().over(w))
+                cnt.withColumn("_cum", F.sum("_n").over(w))
                 .groupBy("u")
-                .agg(F.max(F.least(F.col("c"), F.col("_rn"))).cast("int").alias("_h"))
+                .agg(F.max(F.least(F.col("c"), F.col("_cum"))).cast("int").alias("_h"))
             )
             obs = Observation(f"coreness_{iterations}")
             # left join: vertices outside the frontier keep their value
