@@ -373,6 +373,24 @@ def q_lp_edges(spark, sf_dir):
     return res.labels
 
 
+PPR_SEEDS = [1, 7, 42]
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from a 3-seed restart set (restart AND
+    dangling mass return to the seed distribution); recursive-CTE twin
+    replicates the identical L1 stopping rule and update, so both
+    engines run the same iteration count."""
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    hg = _freeze(spark, sf_dir)
+    res = personalized_pagerank(hg, seeds=PPR_SEEDS, damping=DAMPING, tol=1e-7)
+    hg.unpersist()
+    return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
+
+
 def q_kcore(spark, sf_dir):
     """k-core (k=90) of the co-occurrence graph by iterative peeling
     (operators/kcore.py); at sf0.01 this takes 4 peel rounds to a
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
+        "ppr": q_ppr,
         "kcore": q_kcore,
         "coreness": q_coreness,
         "lp_edges": q_lp_edges,
@@ -967,6 +986,47 @@ it(k, vertex_id, rank, prev) AS (
                               GROUP BY i2.edge_id) e USING (edge_id)
              GROUP BY i.vertex_id) g USING (vertex_id)
   WHERE s.dl >= {tol} AND s.k < {max_iterations}
+)
+SELECT vertex_id, ROUND(rank, 6) AS rank
+FROM it WHERE k = (SELECT MAX(k) FROM it)
+"""
+
+
+def _sql_ppr(tol: float = 1e-7, max_iterations: int = 100) -> str:
+    """PPR twin: same recursive-CTE pattern as pagerank_converged with
+    the restart vector s (1/|seeds| on seeds) replacing the uniform
+    teleport; rank' = ((1-d) + d*dm) * s + d * gathered."""
+    d = DAMPING
+    seeds = ", ".join(str(x) for x in PPR_SEEDS)
+    w = 1.0 / len(PPR_SEEDS)
+    return f"""
+WITH RECURSIVE
+{_SQL_INC.replace("inc AS (", "inc AS MATERIALIZED (")},
+{_SQL_UNI.replace("uni AS (", "uni AS MATERIALIZED (")},
+invdeg AS MATERIALIZED (SELECT vertex_id, 1.0 / COUNT(*) AS inv_degree
+  FROM inc GROUP BY vertex_id),
+sv AS MATERIALIZED (SELECT vertex_id,
+  CASE WHEN vertex_id IN ({seeds}) THEN {w!r} ELSE 0.0 END::DOUBLE AS s FROM uni),
+it(k, vertex_id, rank, prev) AS (
+  SELECT 0, vertex_id, s, CAST(0.0 AS DOUBLE) FROM sv
+  UNION ALL
+  SELECT st.k + 1, c.vertex_id,
+         ((1 - {d}) + {d} * st.dm) * sv.s + {d} * COALESCE(g.g, 0) AS rank,
+         c.rank AS prev
+  FROM it c
+  JOIN sv ON sv.vertex_id = c.vertex_id
+  CROSS JOIN (SELECT MAX(k) AS k, SUM(ABS(rank - prev)) AS dl,
+                COALESCE(SUM(CASE WHEN vertex_id NOT IN
+                  (SELECT vertex_id FROM invdeg) THEN rank END), 0) AS dm
+              FROM it) st
+  LEFT JOIN (SELECT i.vertex_id, SUM(e.mass) AS g
+             FROM inc i JOIN (SELECT i2.edge_id,
+                                SUM(c2.rank * g2.inv_degree) / COUNT(*) AS mass
+                              FROM inc i2 JOIN it c2 USING (vertex_id)
+                              JOIN invdeg g2 ON g2.vertex_id = c2.vertex_id
+                              GROUP BY i2.edge_id) e USING (edge_id)
+             GROUP BY i.vertex_id) g ON g.vertex_id = c.vertex_id
+  WHERE st.dl >= {tol} AND st.k < {max_iterations}
 )
 SELECT vertex_id, ROUND(rank, 6) AS rank
 FROM it WHERE k = (SELECT MAX(k) FROM it)
@@ -1334,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         # the durable bucketed layout must be answer-preserving
         "lp_converged_bucketed": _sql_lp_converged(),
         "pagerank_converged": _sql_pagerank_converged(),
+        "ppr": _sql_ppr(),
         "connected_components": (
             f"WITH RECURSIVE {_SQL_INC}, {_SQL_UNI}, "
             "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "

@@ -50,16 +50,9 @@ def pagerank_state_init(hg: Hypergraph) -> DataFrame:
     )
 
 
-def pagerank_step(
-    hg: Hypergraph,
-    state: DataFrame,
-    dangling_mass: float,
-    damping: float,
-) -> DataFrame:
-    """One power iteration.  Returns (vertex_id, rank, inv_degree, _old)
-    for every vertex; caller supplies the current dangling mass (sum of
-    rank over degree-0 vertices) as a scalar."""
-    n = hg.num_vertices
+def _walk_gather(hg: Hypergraph, state: DataFrame) -> DataFrame:
+    """The shared two-phase hypergraph walk: (vertex_id, gathered) =
+    sum over incident edges of the edge's averaged member contribution."""
     contrib = state.filter(F.col("inv_degree").isNotNull()).select(
         "vertex_id", (F.col("rank") * F.col("inv_degree")).alias("contrib")
     )
@@ -70,11 +63,24 @@ def pagerank_step(
         .agg((F.sum("contrib") / F.count("*")).alias("mass"))
     )
     # phase 2: gather r'_v = sum_{e incident to v} m_e
-    gathered = (
+    return (
         hg.incidence_by_edge.join(edge_mass, "edge_id")
         .groupBy("vertex_id")
         .agg(F.sum("mass").alias("gathered"))
     )
+
+
+def pagerank_step(
+    hg: Hypergraph,
+    state: DataFrame,
+    dangling_mass: float,
+    damping: float,
+) -> DataFrame:
+    """One power iteration.  Returns (vertex_id, rank, inv_degree, _old)
+    for every vertex; caller supplies the current dangling mass (sum of
+    rank over degree-0 vertices) as a scalar."""
+    n = hg.num_vertices
+    gathered = _walk_gather(hg, state)
     base = (1.0 - damping) / n + damping * dangling_mass / n
     return state.join(gathered, "vertex_id", "left").select(
         "vertex_id",
@@ -172,3 +178,91 @@ def pagerank_iteration(
         or 0.0
     )
     return pagerank_step(hg, state, float(dangling), damping).select("vertex_id", "rank")
+
+
+def ppr_state_init(hg: Hypergraph, seeds: list[int]) -> DataFrame:
+    """(vertex_id, rank=s, inv_degree|null, s) where s is the restart
+    vector: 1/|seeds| on seed vertices, 0 elsewhere.  The restart weight
+    RIDES THE STATE (baked in once as a literal isin) so no per-iteration
+    seed join or broadcast is needed."""
+    if not seeds:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    inv_degree = hg.incidence_by_vertex.groupBy("vertex_id").agg(
+        (F.lit(1.0) / F.count("*")).alias("inv_degree")
+    )
+    s = (
+        F.when(F.col("vertex_id").isin([int(x) for x in seeds]), 1.0 / len(seeds))
+        .otherwise(0.0)
+        .cast("double")
+    )
+    return hg.vertices().join(inv_degree, "vertex_id", "left").select(
+        "vertex_id", s.alias("rank"), "inv_degree", s.alias("s")
+    )
+
+
+def ppr_step(
+    hg: Hypergraph, state: DataFrame, dangling_mass: float, damping: float
+) -> DataFrame:
+    """One personalized power iteration: rank'(v) =
+    (1-d + d*dangling_mass) * s(v) + d * gathered(v) — restart AND
+    dangling mass both return to the seed distribution (standard PPR
+    with dangling-to-restart semantics)."""
+    gathered = _walk_gather(hg, state)
+    coef = (1.0 - damping) + damping * dangling_mass
+    return state.join(gathered, "vertex_id", "left").select(
+        "vertex_id",
+        (F.lit(coef) * F.col("s")
+         + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias("rank"),
+        "inv_degree",
+        "s",
+        F.col("rank").alias("_old"),
+    )
+
+
+def personalized_pagerank(
+    hg: Hypergraph,
+    seeds: list[int],
+    damping: float = 0.85,
+    max_iterations: int = 100,
+    tol: float = 1e-9,
+) -> PageRankResult:
+    """PPR to L1 delta < tol (same loop discipline as
+    hypergraph_pagerank: one observe()-fused action per iteration,
+    localCheckpoint lineage truncation, loop-scoped conf)."""
+    state = ppr_state_init(hg, seeds).localCheckpoint(eager=True)
+    dangling = float(
+        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0]
+        or 0.0
+    )
+    deltas: list[float] = []
+    converged = False
+    iterations = 0
+    cores = hg.spark.sparkContext.defaultParallelism
+    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+        for it in range(max_iterations):
+            obs = Observation(f"ppr_{it}")
+            new = (
+                ppr_step(hg, state, dangling, damping)
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                    F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            row = obs.get
+            delta = float(row["delta"] or 0.0)
+            dangling = float(row["dang"] or 0.0)
+            state.unpersist()
+            state = new.drop("_old")
+            iterations = it + 1
+            deltas.append(delta)
+            if delta < tol:
+                converged = True
+                break
+    return PageRankResult(
+        ranks=state.select("vertex_id", "rank"),
+        iterations=iterations,
+        converged=converged,
+        deltas=deltas,
+    )

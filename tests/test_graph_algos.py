@@ -220,3 +220,42 @@ def test_coreness_random_matches_peel(spark):
                    if r["in_core"] == 1}
         assert in_core == {v for v in range(nv) if want[v] >= k}
     hg.unpersist()
+
+
+def test_personalized_pagerank(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    nv = 40
+    edges = _rng_hypergraph(3, nv=nv, ne=60)
+    hg = _freeze(spark, edges, nv)
+    seeds = [0, 5]
+    res = personalized_pagerank(hg, seeds, tol=1e-12)
+    got = np.zeros(nv)
+    for r in res.ranks.collect():
+        got[r["vertex_id"]] = r["rank"]
+    assert abs(got.sum() - 1.0) < 1e-9  # probability mass conserved
+
+    # independent NumPy reference of the same two-step walk + seed restart
+    deg = np.zeros(nv)
+    for ms in edges:
+        for v in ms:
+            deg[v] += 1
+    s = np.zeros(nv)
+    s[seeds] = 1.0 / len(seeds)
+    r = s.copy()
+    d = 0.85
+    for _ in range(300):
+        contrib = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        gathered = np.zeros(nv)
+        for ms in edges:
+            mass = sum(contrib[v] for v in ms) / len(ms)
+            for v in ms:
+                gathered[v] += mass
+        dm = r[deg == 0].sum()
+        r = ((1 - d) + d * dm) * s + d * gathered
+    assert np.allclose(got, r, atol=1e-8), np.abs(got - r).max()
+    # locality: total mass near seeds exceeds the uniform share
+    assert got[seeds].sum() > 2.0 / nv
+    hg.unpersist()
