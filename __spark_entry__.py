@@ -655,6 +655,48 @@ def q_events_stream(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_events_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator under the driver gate:
+    ``applyInPandasWithState`` running per-user (count, sum, max) in
+    update mode (streaming/events.py::stream_user_stats).  Emitted rows
+    are strictly increasing in n_events per user, so the final state =
+    the max-n_events row per user, which must equal the batch aggregate
+    — the DuckDB twin computes exactly that."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        run_to_completion,
+        stream_user_stats,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="events_user_stats_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, "events.parquet"))
+        else:
+            shutil.copy(src, tmp)
+        name = f"user_stats_{uuid.uuid4().hex[:8]}"
+        out = run_to_completion(stream_user_stats(spark, tmp), name, "update")
+        final = (
+            out.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sum_value", "max_value")).alias("_f"))
+            .select(
+                F.col("user_id").cast("long"),
+                F.col("_f.n_events").cast("long").alias("n_events"),
+                F.round("_f.sum_value", 6).alias("sum_value"),
+                F.round("_f.max_value", 6).alias("max_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user gap-based sessionization via session_window (4h gap) —
     the batch twin of streaming/events.py::stream_events_sessions; the
@@ -854,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_stream": q_events_stream,
         "events_sessions": q_events_sessions,
+        "events_user_stats": q_events_user_stats,
         "agg_pushdown": q_agg_pushdown,
         "agg_rollup": q_agg_rollup,
         "quantiles": q_quantiles,
@@ -1752,6 +1795,13 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "ROUND(SUM(value), 6) AS sum_value "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "events_user_stats": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value, "
+            "ROUND(MAX(value), 6) AS max_value "
+            "FROM events GROUP BY user_id"
         ),
         "agg_pushdown": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "

@@ -207,3 +207,61 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str) -
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+USER_STATS_STATE_SCHEMA = "n BIGINT, total DOUBLE, mx DOUBLE"
+USER_STATS_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_value DOUBLE"
+)
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState update function: running per-user
+    (count, sum, max) over the event stream.  Pure incremental merge —
+    each micro-batch folds into the persisted state tuple and emits the
+    updated row, so the FINAL emitted row per user equals the batch
+    aggregate over the whole stream (the oracle-checkable invariant)."""
+    import pandas as pd
+
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [total],
+            "max_value": [mx],
+        }
+    )
+
+
+def stream_user_stats(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the Arrow-batched arbitrary-state API): per-user running
+    (count, sum, max) emitted in update mode each micro-batch.
+
+    At 100 TB the state store is RocksDB-backed and partitioned by
+    user_id; here the in-memory HDFS-backed store exercises the same
+    plumbing.  The final emitted row per user equals the batch
+    aggregate, which is what the contract query checks against DuckDB.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(path)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=USER_STATS_OUTPUT_SCHEMA,
+        stateStructType=USER_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -159,3 +159,59 @@ def test_degrees_merge_crash_recovery(spark, tmp_path):
     _recover_state(state)
     assert os.path.exists(cur) and not os.path.exists(cur + ".old")
     assert {tuple(r) for r in spark.read.parquet(cur).collect()} == want
+
+
+def test_user_stats_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: two micro-batches (maxFilesPerTrigger=1)
+    must fold into ONE persisted state per user — a user present in both
+    halves emits two rows with strictly increasing n_events, and the
+    final row equals the batch aggregate over the full stream."""
+    import glob
+    import shutil as sh
+
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        run_to_completion,
+        stream_user_stats,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a, b = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    sdir = tmp_path / "ev_stream"
+    sdir.mkdir()
+    for i, half in enumerate((a, b)):
+        half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"h{i}.parquet"))
+        src = glob.glob(str(tmp_path / f"h{i}.parquet" / "part-*.parquet"))[0]
+        sh.copy(src, sdir / f"file{i}.parquet")
+
+    out = run_to_completion(
+        stream_user_stats(spark, str(sdir), max_files_per_trigger=1),
+        "t_user_stats", "update",
+    )
+    rows = out.collect()
+    spark.catalog.dropTempView("t_user_stats")
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    multi = 0
+    for uid, emitted in per_user.items():
+        emitted.sort(key=lambda r: r["n_events"])
+        ns = [r["n_events"] for r in emitted]
+        assert ns == sorted(set(ns)), "n_events must be strictly increasing"
+        if len(emitted) > 1:
+            multi += 1
+        final = emitted[-1]
+        w = want[uid]
+        assert final["n_events"] == w["n"]
+        assert abs(final["sum_value"] - w["s"]) < 1e-9
+        assert final["max_value"] == w["m"]
+    assert multi > 0, "at least one user must span both micro-batches"
