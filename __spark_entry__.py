@@ -418,6 +418,21 @@ def q_coreness(spark, sf_dir):
     return res.coreness.select(F.col("vertex_id").cast("long"), "coreness")
 
 
+def q_lp_modularity(spark, sf_dir):
+    """Community-quality evaluation: Newman modularity of the CONVERGED
+    LP labeling on the clique-expanded co-occurrence graph — the metric
+    that closes the loop from 'LP ran' to 'LP found structure'.  The
+    twin nests the unrolled LP fixed-point CTE inside the modularity
+    SQL, so the whole run->evaluate pipeline is hash-checked."""
+    from hypergraph_gpu_label_propagation_spark.operators.triangles import modularity
+
+    hg = _freeze(spark, sf_dir)
+    res = label_propagation(hg, _labels0(spark, hg.num_vertices), max_labels=MAX_LABELS)
+    out = modularity(hg, res.labels).localCheckpoint(eager=True)
+    hg.unpersist()
+    return out
+
+
 def q_triangle_count(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_superstep_weighted": q_lp_superstep_weighted,
         "lp_converged": q_lp_converged,
         "lp_converged_bucketed": q_lp_converged_bucketed,
+        "lp_modularity": q_lp_modularity,
         "connected_components": q_connected_components,
         "pagerank_2iter": q_pagerank_2iter,
         "pagerank_converged": q_pagerank_converged,
@@ -1436,6 +1452,26 @@ def oracle_sql() -> dict[str, str]:
         "lp_converged": _sql_lp_converged(),
         # the durable bucketed layout must be answer-preserving
         "lp_converged_bucketed": _sql_lp_converged(),
+        "lp_modularity": (
+            f"WITH lp AS ({_sql_lp_converged()}), "
+            "inc2 AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS edge_id, "
+            "  CAST(l_partkey AS BIGINT) AS vertex_id FROM lineitem), "
+            "adj AS (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v "
+            "  FROM inc2 a JOIN inc2 b USING (edge_id) "
+            "  WHERE a.vertex_id < b.vertex_id), "
+            "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM adj), "
+            "deg AS (SELECT x AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM ("
+            "  SELECT u AS x FROM adj UNION ALL SELECT v FROM adj) GROUP BY 1), "
+            "intra AS (SELECT la.label, CAST(COUNT(*) AS DOUBLE) AS e "
+            "  FROM adj JOIN lp la ON la.vertex_id = adj.u "
+            "  JOIN lp lb ON lb.vertex_id = adj.v AND lb.label = la.label "
+            "  GROUP BY 1), "
+            "dc AS (SELECT lp.label, SUM(deg.d) AS dsum FROM lp "
+            "  JOIN deg ON deg.v = lp.vertex_id GROUP BY 1) "
+            "SELECT ROUND(SUM(COALESCE(i.e, 0) / mm.m "
+            "  - POW(dc.dsum / (2 * mm.m), 2)), 6) AS modularity "
+            "FROM dc LEFT JOIN intra i USING (label) CROSS JOIN mm"
+        ),
         "pagerank_converged": _sql_pagerank_converged(),
         "ppr": _sql_ppr(),
         "connected_components": (

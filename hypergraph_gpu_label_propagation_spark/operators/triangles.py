@@ -79,3 +79,43 @@ def per_vertex_triangle_count(hg: Hypergraph, max_edge_size: int | None = None) 
     return hg.vertices().join(per, "vertex_id", "left").select(
         "vertex_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def modularity(hg, labels):
+    """Newman modularity of a vertex labeling on the clique-expanded
+    co-occurrence graph: Q = sum_c [ e_c/m - (d_c/(2m))^2 ] with e_c =
+    intra-community edges, d_c = total degree of community c, m = total
+    edges.  One lazy plan (the edge count rides as a one-row frame, no
+    driver collect), so it composes into contract queries and pipelines.
+
+    ``labels``: (vertex_id, label) one row per vertex (e.g. LP output).
+    Returns a one-row DataFrame (modularity: double).
+    """
+    from pyspark.sql import functions as F
+
+    adj = clique_expansion(hg)  # distinct u < v pairs
+    m = adj.agg(F.count("*").cast("double").alias("m"))
+    deg = (
+        adj.select(F.col("u").alias("x"))
+        .unionAll(adj.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    la = labels.select(F.col("vertex_id").alias("u"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("vertex_id").alias("v"), F.col("label").alias("_lb"))
+    intra = (
+        adj.join(la, "u").join(lb, "v")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("double").alias("e"))
+    )
+    dc = (
+        labels.join(deg, labels.vertex_id == deg.x)
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    per_label = dc.join(intra, "label", "left").crossJoin(m).select(
+        (F.coalesce("e", F.lit(0.0)) / F.col("m")
+         - F.pow(F.col("dsum") / (2 * F.col("m")), 2)).alias("q")
+    )
+    return per_label.agg(F.round(F.sum("q"), 6).alias("modularity"))

@@ -259,3 +259,25 @@ def test_personalized_pagerank(spark):
     # locality: total mass near seeds exceeds the uniform share
     assert got[seeds].sum() > 2.0 / nv
     hg.unpersist()
+
+
+def test_modularity_known_values(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.triangles import modularity
+    from tests.conftest import labels_df
+
+    # two disjoint triangles, labeled by component: the classic perfect
+    # 2-community partition has Q = 1/2 (e_c/m = 1/2 each, d_c/2m = 1/2)
+    edges = [[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5]]
+    hg = _freeze(spark, edges, 6)
+    perfect = labels_df(spark, [0, 0, 0, 1, 1, 1])
+    q = modularity(hg, perfect).collect()[0]["modularity"]
+    assert abs(q - 0.5) < 1e-9, q
+    # everything in one community -> Q = 0 by definition
+    allsame = labels_df(spark, [0] * 6)
+    q0 = modularity(hg, allsame).collect()[0]["modularity"]
+    assert abs(q0 - 0.0) < 1e-9, q0
+    # mixing the communities strictly lowers Q below the perfect split
+    mixed = labels_df(spark, [0, 1, 0, 1, 0, 1])
+    qm = modularity(hg, mixed).collect()[0]["modularity"]
+    assert qm < 0.5
+    hg.unpersist()
