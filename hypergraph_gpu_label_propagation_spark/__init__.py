@@ -24,18 +24,37 @@ text analysis, multimodal plumbing).
 """
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph, HypergraphFrames
+from hypergraph_gpu_label_propagation_spark.operators.components import (
+    connected_components,
+)
+from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness, k_core
 from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
     LPResult,
     label_propagation,
     lp_superstep,
+)
+from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+    hypergraph_pagerank,
+    personalized_pagerank,
+)
+from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+    modularity,
+    triangle_count,
 )
 
 __all__ = [
     "Hypergraph",
     "HypergraphFrames",
     "LPResult",
+    "connected_components",
+    "coreness",
+    "hypergraph_pagerank",
+    "k_core",
     "label_propagation",
     "lp_superstep",
+    "modularity",
+    "personalized_pagerank",
+    "triangle_count",
 ]
 
 __version__ = "0.1.0"
