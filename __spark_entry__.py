@@ -391,6 +391,15 @@ def q_ppr(spark, sf_dir):
     return res.ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 
 
+def q_edges_hits(spark, sf_dir):
+    """HITS hubs/authorities over the part->supplier edge table, fixed
+    12 iterations with L1 normalization (digraph.py::hits_edges); the
+    twin replicates the identical round structure in a recursive CTE."""
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import hits_edges
+
+    return hits_edges(_edge_table(spark, sf_dir), iterations=12)
+
+
 def q_kcore(spark, sf_dir):
     """k-core (k=90) of the co-occurrence graph by iterative peeling
     (operators/kcore.py); at sf0.01 this takes 4 peel rounds to a
@@ -892,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_pagerank": q_edges_pagerank,
         "edges_cc": q_edges_cc,
         "edges_triangles": q_edges_triangles,
+        "edges_hits": q_edges_hits,
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
         "near_dup": q_near_dup,
@@ -1364,6 +1374,49 @@ FROM it WHERE k = (SELECT MAX(k) FROM it)
 """
 
 
+def _sql_edges_hits(iterations: int = 20) -> str:
+    """HITS twin: the normalized-auth derived table is inlined at each
+    of its three uses (per-vertex value, hub numerator, hub
+    normalizer) — same raw-sum-then-divide arithmetic as the Spark
+    loop, so round-6 values match after the fixed iteration count."""
+    ar = (
+        "SELECT e1.dst AS vertex_id, SUM(c1.hub) AS ar "
+        "FROM ed e1 JOIN it c1 ON c1.vertex_id = e1.src GROUP BY e1.dst"
+    )
+    an = (
+        f"SELECT x.vertex_id, x.ar / (SELECT SUM(y.ar) FROM ({ar}) y) AS a "
+        f"FROM ({ar}) x"
+    )
+    hr = (
+        f"SELECT e3.src AS vertex_id, SUM(an2.a) AS hr "
+        f"FROM ed e3 JOIN ({an}) an2 ON an2.vertex_id = e3.dst GROUP BY e3.src"
+    )
+    hn = (
+        f"SELECT z.vertex_id, z.hr / (SELECT SUM(w.hr) FROM ({hr}) w) AS h "
+        f"FROM ({hr}) z"
+    )
+    return f"""
+WITH RECURSIVE
+{_SQL_ED},
+{_SQL_EUNI},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM euni),
+it(k, vertex_id, hub, auth) AS (
+  SELECT 0, u.vertex_id, 1.0 / n.n, 1.0 / n.n FROM euni u CROSS JOIN nn n
+  UNION ALL
+  SELECT s.k + 1, u.vertex_id,
+         COALESCE(hn.h, 0) AS hub,
+         COALESCE(an.a, 0) AS auth
+  FROM euni u
+  CROSS JOIN (SELECT MAX(k) AS k FROM it) s
+  LEFT JOIN ({an}) an ON an.vertex_id = u.vertex_id
+  LEFT JOIN ({hn}) hn ON hn.vertex_id = u.vertex_id
+  WHERE s.k < {iterations}
+)
+SELECT vertex_id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth
+FROM it WHERE k = {iterations}
+"""
+
+
 def _sql_minhash_sig_cte() -> str:
     """doc -> (doc_id, mh0..mh7) as CTEs: toks/shingles/hash/sig."""
     coeffs = minhash_coeffs(8)
@@ -1550,6 +1603,7 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             )
         ),
         "edges_pagerank": _sql_edges_pagerank(),
+        "edges_hits": _sql_edges_hits(12),
         "edges_cc": (
             f"WITH RECURSIVE {_SQL_ED}, {_SQL_EUNI}, "
             "adj AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM ed "

@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality",
     "agg_pushdown",
     "events_stream",
+    "events_user_stats",
+    "graph_profile",
     "source_files_hypergraph",
 ]
 

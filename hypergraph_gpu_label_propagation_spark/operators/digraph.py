@@ -214,3 +214,71 @@ def lp_edges(
     )
     hg.unpersist()
     return res
+
+
+def hits_edges(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """HITS (Kleinberg 1999) over the directed edge table, FIXED
+    iteration count with L1 normalization each round (L1 instead of the
+    classic L2: same fixed-point ranking, and sum-normalization keeps
+    the arithmetic exactly reproducible in the SQL twin — no sqrt).
+
+    Per round: auth'(v) = sum over in-edges of hub(u), normalized to
+    sum 1; hub'(u) = sum over out-edges of the NEW auth, normalized.
+    The normalizing sums ride as one-row frames (crossJoin) so each
+    round stays one lazy plan + one checkpoint action.  Returns
+    (vertex_id, hub, auth) rounded to 6.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = vertex_universe(e).persist(StorageLevel.MEMORY_AND_DISK)
+    n = uni.count()
+    state = uni.select(
+        "vertex_id",
+        F.lit(1.0 / n).cast("double").alias("hub"),
+        F.lit(1.0 / n).cast("double").alias("auth"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        a_raw = (
+            e.join(state.select(F.col("vertex_id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("vertex_id"))
+            .agg(F.sum("hub").alias("_ar"))
+        )
+        a_sum = a_raw.agg(F.sum("_ar").alias("_as"))
+        # every edge has a src, and hub mass never fully vanishes from
+        # all srcs, so _as > 0 on any non-empty edge set
+        auth = (
+            uni.join(a_raw, "vertex_id", "left")
+            .crossJoin(a_sum)
+            .select(
+                "vertex_id",
+                (F.coalesce("_ar", F.lit(0.0)) / F.col("_as")).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(auth.select(F.col("vertex_id").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("vertex_id"))
+            .agg(F.sum("auth").alias("_hr"))
+        )
+        h_sum = h_raw.agg(F.sum("_hr").alias("_hs"))
+        new = (
+            uni.join(h_raw, "vertex_id", "left")
+            .crossJoin(h_sum)
+            .select(
+                "vertex_id",
+                (F.coalesce("_hr", F.lit(0.0)) / F.col("_hs")).alias("hub"),
+            )
+            .join(auth, "vertex_id")
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new
+    e.unpersist()
+    uni.unpersist()
+    return state.select(
+        "vertex_id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )

@@ -103,3 +103,22 @@ def test_self_loop_vertices_are_singleton_components(spark):
     res = connected_components_edges(loops)
     got = sorted((r["vertex_id"], r["component"]) for r in res.components.collect())
     assert got == [(1, 1), (2, 2), (3, 3), (4, 3)]
+
+
+def test_hits_properties(spark):
+    """HITS on a star src->hub: the sink with all in-edges takes all
+    authority; the sources share hub mass; both vectors sum to 1."""
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.operators.digraph import hits_edges
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (3, 4)], "src long, dst long"
+    )
+    out = {r["vertex_id"]: (r["hub"], r["auth"]) for r in hits_edges(edges, 10).collect()}
+    hubs = sum(h for h, _ in out.values())
+    auths = sum(a for _, a in out.values())
+    assert abs(hubs - 1.0) < 1e-6 and abs(auths - 1.0) < 1e-6
+    assert out[0][1] > 0.7, "sink 0 should dominate authority"
+    assert out[0][0] == 0.0, "sink has no out-edges -> zero hub"
+    assert out[3][0] > out[1][0], "vertex 3 points at two authorities"
