@@ -442,6 +442,20 @@ def q_lp_modularity(spark, sf_dir):
     return out
 
 
+def q_ktruss(spark, sf_dir):
+    """k-truss (k=17) of the co-occurrence graph — the EDGE-level
+    decomposition beside kcore/coreness (operators/ktruss.py); oracle is
+    the recursive-CTE edge peel with the kcore twin's shrink guard."""
+    from hypergraph_gpu_label_propagation_spark.operators.ktruss import k_truss
+
+    hg = _freeze(spark, sf_dir)
+    res = k_truss(hg, k=17)
+    hg.unpersist()
+    return res.membership.select(
+        F.col("u").cast("long"), F.col("v").cast("long"), "in_truss"
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     hg = _freeze(spark, sf_dir)
     return triangle_count(hg).select(F.col("n_triangles").cast("long").alias("n_triangles"))
@@ -897,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "kcore": q_kcore,
         "coreness": q_coreness,
+        "ktruss": q_ktruss,
         "lp_edges": q_lp_edges,
         "edges_pagerank": q_edges_pagerank,
         "edges_cc": q_edges_cc,
@@ -1374,6 +1389,40 @@ FROM it WHERE k = (SELECT MAX(k) FROM it)
 """
 
 
+def _sql_ktruss(k: int) -> str:
+    """k-truss twin: recursive CTE carrying the alive EDGE set; each
+    step keeps edges with >= k-2 triangles among the alive set (support
+    via the symmetrized working table, spelled UNION ALL — see the
+    DuckDB WITH RECURSIVE union-dedup gotcha), with the kcore twin's
+    shrink guard + final outside filter."""
+    def survivors(src: str) -> str:
+        sym = f"(SELECT u, v FROM {src} UNION ALL SELECT v, u FROM {src})"
+        return (
+            f"SELECT e.u, e.v FROM {src} e "
+            f"JOIN {sym} s1 ON s1.u = e.u "
+            f"JOIN {sym} s2 ON s2.u = e.v AND s2.v = s1.v "
+            f"GROUP BY e.u, e.v HAVING COUNT(*) >= {k - 2}"
+        )
+
+    return f"""WITH RECURSIVE
+{_SQL_INC.replace("inc AS (", "inc AS MATERIALIZED (")},
+adj AS MATERIALIZED (SELECT DISTINCT a.vertex_id AS u, b.vertex_id AS v
+  FROM inc a JOIN inc b USING (edge_id) WHERE a.vertex_id < b.vertex_id),
+it(r, u, v) AS (
+  SELECT 0, u, v FROM adj
+  UNION ALL
+  SELECT s.r + 1, d.u, d.v
+  FROM ({survivors("it")}) d
+  CROSS JOIN (SELECT MAX(r) AS r, COUNT(*) AS n FROM it) s
+  WHERE (SELECT COUNT(*) FROM ({survivors("it")})) < s.n
+),
+last AS (SELECT u, v FROM it WHERE r = (SELECT MAX(r) FROM it)),
+fin AS ({survivors("last")})
+SELECT adj.u, adj.v,
+  CAST(CASE WHEN f.u IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_truss
+FROM adj LEFT JOIN fin f ON f.u = adj.u AND f.v = adj.v"""
+
+
 def _sql_edges_hits(iterations: int = 20) -> str:
     """HITS twin: the normalized-auth derived table is inlined at each
     of its three uses (per-vertex value, hub numerator, hub
@@ -1602,6 +1651,7 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
                 "  UNION ALL SELECT edge_id, CAST(v AS BIGINT) FROM pe)"
             )
         ),
+        "ktruss": _sql_ktruss(17),
         "edges_pagerank": _sql_edges_pagerank(),
         "edges_hits": _sql_edges_hits(12),
         "edges_cc": (

@@ -281,3 +281,22 @@ def test_modularity_known_values(spark):
     qm = modularity(hg, mixed).collect()[0]["modularity"]
     assert qm < 0.5
     hg.unpersist()
+
+
+def test_ktruss_clique_plus_chain(spark):
+    """K5 edges each sit in 3 triangles -> they form the 5-truss; the
+    pendant chain (support 0) peels immediately at any k >= 3."""
+    from hypergraph_gpu_label_propagation_spark.operators.ktruss import k_truss
+
+    clique = [[a, b] for a in range(5) for b in range(a + 1, 5)]
+    chain = [[0, 5], [5, 6], [6, 7]]
+    hg = _freeze(spark, clique + chain, 8)
+    res = k_truss(hg, k=5)
+    got = {(r["u"], r["v"]): r["in_truss"] for r in res.membership.collect()}
+    for (u, v), flag in got.items():
+        in_k5 = u < 5 and v < 5
+        assert flag == (1 if in_k5 else 0), (u, v, flag)
+    assert res.truss_size == 10  # C(5,2)
+    # k above the clique's truss empties it
+    assert k_truss(hg, k=6).truss_size == 0
+    hg.unpersist()
