@@ -176,9 +176,12 @@ def q_graph_profile(spark, sf_dir):
 
     def hist(df, key, kind):
         deg = df.groupBy(key).agg(F.count("*").alias("d"))
+        # bucket = floor(log2(d)) computed as bit-length - 1: EXACT
+        # integer arithmetic (both engines), immune to FP log2 landing
+        # epsilon below an integer for large counts
         return deg.select(
             F.lit(kind).alias("kind"),
-            F.floor(F.log2("d")).cast("int").alias("bucket"),
+            (F.length(F.bin("d")) - 1).cast("int").alias("bucket"),
             F.col("d"),
         ).groupBy("kind", "bucket").agg(
             F.count("*").cast("long").alias("n"),
@@ -270,17 +273,23 @@ def q_connected_components(spark, sf_dir):
 
 
 def q_pagerank_2iter(spark, sf_dir):
+    """Two loop-safe (fully lazy) pagerank_iteration composes: the
+    dangling mass is a broadcast scalar subquery inside each iteration's
+    plan, so the whole query is ONE job with zero driver collects."""
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        pagerank_iteration,
+    )
+
     hg = _freeze(spark, sf_dir)
-    state = pagerank_state_init(hg).localCheckpoint(eager=True)
-    dangling = state.filter(F.col("inv_degree").isNull()).count() / float(hg.num_vertices)
+    inv_degree = hg.incidence_by_vertex.groupBy("vertex_id").agg(
+        (F.lit(1.0) / F.count("*")).alias("inv_degree")
+    )
+    ranks = hg.vertices().select(
+        "vertex_id", F.lit(1.0 / hg.num_vertices).cast("double").alias("rank")
+    )
     for _ in range(2):
-        new = pagerank_step(hg, state, dangling, DAMPING).localCheckpoint(eager=True)
-        dangling = float(
-            new.agg(F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank")))).collect()[0][0]
-            or 0.0
-        )
-        state = new.drop("_old")
-    return state.select("vertex_id", F.round("rank", 6).alias("rank"))
+        ranks = pagerank_iteration(hg, ranks, inv_degree, DAMPING)
+    return ranks.select("vertex_id", F.round("rank", 6).alias("rank"))
 
 
 def q_pagerank_converged(spark, sf_dir):
@@ -875,6 +884,46 @@ def q_gen_hsbm(spark, sf_dir):
     )
 
 
+def q_generators(spark, sf_dir):
+    """All four generator surfaces (G1-G4) as ONE contract row: the
+    driver's checked set records at most 50 entries (CORRECTNESS_r03
+    had 50 rows for 53 queries and silently dropped the last three
+    registered), so the four per-generator queries are unioned with a
+    ``gen`` tag — each component is byte-identical to its round-3
+    standalone query/oracle pair, and a hash mismatch in ANY generator
+    still fails the row."""
+    from hypergraph_gpu_label_propagation_spark.sources.generators import (
+        fixed_hypergraph,
+        hsbm_hypergraph,
+        planted_partition_hypergraph,
+        uniform_hypergraph,
+    )
+
+    def tag(df, name):
+        return df.select(
+            F.lit(name).alias("gen"),
+            F.col("edge_id").cast("long"),
+            F.col("vertex_id").cast("long"),
+        )
+
+    return (
+        tag(uniform_hypergraph(spark, num_vertices=500, num_edges=1000, seed=42),
+            "uniform")
+        .unionByName(tag(
+            fixed_hypergraph(spark, num_vertices=300, num_edges=500,
+                             edge_size=4, seed=7), "fixed"))
+        .unionByName(tag(
+            planted_partition_hypergraph(
+                spark, num_vertices=500, num_edges=800, communities=8,
+                p_intra=0.85, seed=11), "planted"))
+        .unionByName(tag(
+            hsbm_hypergraph(
+                spark, num_vertices=400, num_edges=300, communities=8,
+                p_intra=0.9, p_inter=0.5, min_edge_size=2,
+                max_edge_size=4, seed=13), "hsbm"))
+    )
+
+
 def q_source_files_hypergraph(spark, sf_dir):
     """Flagship derivation (input_hint): synthetic source_files table ->
     repo/commit hyperedges with the sha256 provenance invariant enforced
@@ -896,6 +945,8 @@ def q_source_files_hypergraph(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incidence_build": q_incidence,
+        "source_files_hypergraph": q_source_files_hypergraph,
+        "generators": q_generators,
         "vertex_degrees": q_vertex_degrees,
         "edge_sizes": q_edge_sizes,
         "graph_profile": q_graph_profile,
@@ -943,11 +994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
-        "gen_uniform": q_gen_uniform,
-        "gen_fixed": q_gen_fixed,
-        "gen_planted": q_gen_planted,
-        "gen_hsbm": q_gen_hsbm,
-        "source_files_hypergraph": q_source_files_hypergraph,
     }
 
 
@@ -1229,6 +1275,11 @@ def _sql_gen_planted(
         candidate_window,
     )
 
+    if communities < 2:
+        # mirror planted_partition_hypergraph's guard: the outside-top-up
+        # pool indexes `oi // (C-1)`, which this generator would emit as a
+        # literal division by zero for C=1
+        raise ValueError("planted partition needs communities >= 2")
     V, C, E = num_vertices, communities, num_edges
     span = max_edge_size - min_edge_size + 1
     W = candidate_window(max_edge_size)
@@ -1523,11 +1574,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_SQL_INC}, "
             "vd AS (SELECT COUNT(*) AS d FROM inc GROUP BY vertex_id), "
             "es AS (SELECT COUNT(*) AS d FROM inc GROUP BY edge_id) "
-            "SELECT 'vertex_degree' AS kind, CAST(FLOOR(LOG2(d)) AS INT) AS bucket, "
+            # bit-length - 1 == floor(log2(d)) in exact integer
+            # arithmetic on both engines (no FP epsilon flips)
+            "SELECT 'vertex_degree' AS kind, CAST(LENGTH(BIN(d)) - 1 AS INT) AS bucket, "
             "CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(d) AS BIGINT) AS min_count, "
             "CAST(MAX(d) AS BIGINT) AS max_count FROM vd GROUP BY 2 "
             "UNION ALL "
-            "SELECT 'edge_size', CAST(FLOOR(LOG2(d)) AS INT), "
+            "SELECT 'edge_size', CAST(LENGTH(BIN(d)) - 1 AS INT), "
             "CAST(COUNT(*) AS BIGINT), CAST(MIN(d) AS BIGINT), "
             "CAST(MAX(d) AS BIGINT) FROM es GROUP BY 2"
         ),
@@ -1982,11 +2035,18 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
         ),
     }
     # generators: the hash-ranked sampler is md5 arithmetic end-to-end,
-    # so DuckDB regenerates the identical incidence (exact twins)
-    oracles["gen_uniform"] = _sql_gen_uniform(500, 1000, 2, 5, 42)
-    oracles["gen_fixed"] = _sql_gen_uniform(300, 500, 4, 4, 7)
-    oracles["gen_planted"] = _sql_gen_planted(500, 800, 8, 0.85, 2, 5, 11)
-    oracles["gen_hsbm"] = _sql_gen_hsbm(400, 300, 8, 0.9, 0.5, 2, 4, 13)
+    # so DuckDB regenerates the identical incidence (exact twins).  One
+    # unioned row for all four surfaces — see q_generators for why.
+    oracles["generators"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS gen, CAST(edge_id AS BIGINT) AS edge_id, "
+        f"CAST(vertex_id AS BIGINT) AS vertex_id FROM ({sql})"
+        for tag, sql in [
+            ("uniform", _sql_gen_uniform(500, 1000, 2, 5, 42)),
+            ("fixed", _sql_gen_uniform(300, 500, 4, 4, 7)),
+            ("planted", _sql_gen_planted(500, 800, 8, 0.85, 2, 5, 11)),
+            ("hsbm", _sql_gen_hsbm(400, 300, 8, 0.9, 0.5, 2, 4, 13)),
+        ]
+    )
     # the streaming query in complete output mode emits every window, so
     # its result equals the batch twin's — same oracle verifies both
     oracles["events_stream"] = oracles["events_window"]

@@ -71,6 +71,8 @@ def pagerank_edges(
     )
     uni = vertex_universe(e).persist(StorageLevel.MEMORY_AND_DISK)
     n = uni.count()
+    if n == 0:
+        raise ValueError("pagerank_edges: empty edge table (no vertices)")
     inv_out = e.groupBy("src").agg((F.lit(1.0) / F.count("*")).alias("inv_out"))
     state = uni.join(
         inv_out, uni.vertex_id == inv_out.src, "left"
@@ -236,6 +238,8 @@ def hits_edges(edges: DataFrame, iterations: int = 20) -> DataFrame:
     )
     uni = vertex_universe(e).persist(StorageLevel.MEMORY_AND_DISK)
     n = uni.count()
+    if n == 0:
+        raise ValueError("hits_edges: empty edge table (no vertices)")
     state = uni.select(
         "vertex_id",
         F.lit(1.0 / n).cast("double").alias("hub"),

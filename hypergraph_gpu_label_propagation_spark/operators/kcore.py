@@ -171,6 +171,11 @@ def coreness(
     )
     with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
         for _ in range(start, max_iterations):
+            if changes == 0:
+                # resuming an already-converged snapshot (its _ch column
+                # is all zero): don't burn a redundant superstep —
+                # iterations/changes_per_iter must match the fresh run
+                break
             if changes < 0.05 * n_state:
                 affected = (
                     adj.join(changed.select(F.col("u").alias("v")), "v", "left_semi")

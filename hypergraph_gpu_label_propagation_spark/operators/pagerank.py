@@ -115,10 +115,15 @@ def hypergraph_pagerank(
             state = state.select("vertex_id", "rank", "inv_degree")
     if state is None:
         state = pagerank_state_init(hg)
-    state = state.localCheckpoint(eager=True)
-    dangling = float(
-        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
-    )
+    # the dangling-mass init rides the eager-localCheckpoint job via
+    # observe() — no separate driver collect (observed metrics fire on
+    # eager localCheckpoint, same mechanism as the loop body)
+    obs0 = Observation("pr_init")
+    state = state.observe(
+        obs0,
+        F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+    ).localCheckpoint(eager=True)
+    dangling = float(obs0.get["dang"] or 0.0)
     deltas: list[float] = []
     converged = False
     iterations = start
@@ -167,17 +172,32 @@ def pagerank_iteration(
     inv_degree: DataFrame,
     damping: float,
 ) -> DataFrame:
-    """One iteration from a bare (vertex_id, rank) frame; computes the
-    dangling mass with an extra aggregate (use hypergraph_pagerank for
-    iterating — this exists for the SQL-oracle fixed-step query)."""
+    """One iteration from a bare (vertex_id, rank) frame.  Fully lazy
+    and loop-safe: the dangling mass is a broadcast scalar subquery in
+    the SAME plan (1-row aggregate cross-joined in), so composing k
+    iterations costs zero driver actions."""
     state = ranks.join(inv_degree, "vertex_id", "left").select(
         "vertex_id", "rank", "inv_degree"
     )
-    dangling = (
-        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0]
-        or 0.0
+    n = hg.num_vertices
+    gathered = _walk_gather(hg, state)
+    dang = state.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))), F.lit(0.0)
+        ).alias("_dm")
     )
-    return pagerank_step(hg, state, float(dangling), damping).select("vertex_id", "rank")
+    return (
+        state.join(gathered, "vertex_id", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "vertex_id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
 
 
 def ppr_state_init(hg: Hypergraph, seeds: list[int]) -> DataFrame:
@@ -229,11 +249,16 @@ def personalized_pagerank(
     """PPR to L1 delta < tol (same loop discipline as
     hypergraph_pagerank: one observe()-fused action per iteration,
     localCheckpoint lineage truncation, loop-scoped conf)."""
-    state = ppr_state_init(hg, seeds).localCheckpoint(eager=True)
-    dangling = float(
-        state.filter(F.col("inv_degree").isNull()).agg(F.sum("rank")).collect()[0][0]
-        or 0.0
+    obs0 = Observation("ppr_init")
+    state = (
+        ppr_state_init(hg, seeds)
+        .observe(
+            obs0,
+            F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+        )
+        .localCheckpoint(eager=True)
     )
+    dangling = float(obs0.get["dang"] or 0.0)
     deltas: list[float] = []
     converged = False
     iterations = 0

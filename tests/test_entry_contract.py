@@ -16,6 +16,9 @@ def test_every_oracle_has_a_query():
 def test_query_callables_and_names():
     qs = entry.queries()
     assert len(qs) >= 20
+    # the driver's correctness gate records at most 50 rows
+    # (CORRECTNESS_r03 dropped entries 51-53) — never exceed it again
+    assert len(qs) <= 50, "driver gate caps at 50 entries; merge queries"
     for name, fn in qs.items():
         assert callable(fn), name
         assert name.replace("_", "").isalnum()
