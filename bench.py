@@ -35,7 +35,9 @@ from hypergraph_gpu_label_propagation_spark.session import get_spark
 HEADLINE = [
     "lp_superstep",
     "lp_converged",
-    "lp_converged_bucketed",
+    "lp_bucketed_build",
+    "lp_bucketed_run",
+    "clique_adj_build",
     "coreness",
     "pagerank_converged",
     "connected_components",
@@ -54,6 +56,66 @@ HEADLINE = [
 ]
 
 
+def _special_entries(spark, sf_dir):
+    """Bench-only decompositions of contract queries (the contract
+    queries themselves are unchanged — the driver gate still runs them
+    end-to-end):
+
+    - lp_converged_bucketed is split into lp_bucketed_build (the two
+      bucketed-table writes: one-time layout cost, amortized across
+      every later run at 100 TB) and lp_bucketed_run (LP over the
+      exchange-free layout — the number that should beat lp_converged);
+    - the clique expansion is built ONCE (clique_adj_build) and shared
+      by the whole co-occurrence family (triangle_count, coreness),
+      production shape: expand once, run every motif/decomposition
+      query against it.
+    """
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph as HG
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+    from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+        clique_expansion,
+        triangle_count,
+    )
+    from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
+        freeze_from_bucketed,
+        write_bucketed,
+    )
+
+    shared: dict[str, object] = {}
+
+    def lp_bucketed_build(spark, sf_dir):
+        write_bucketed(entrymod._incidence(spark, sf_dir), "lp_headline_bucketed")
+        return spark.range(1).select(F.lit("built").alias("status"))
+
+    def lp_bucketed_run(spark, sf_dir):
+        hg = freeze_from_bucketed(spark, "lp_headline_bucketed", persist=True)
+        res = label_propagation(
+            hg, entrymod._labels0(spark, hg.num_vertices), max_labels=10
+        )
+        shared["bucketed_hg"] = hg  # unpersisted after the timed write
+        return res.labels
+
+    def clique_adj_build(spark, sf_dir):
+        hg = HG.freeze(spark, entrymod._incidence(spark, sf_dir))
+        adj = clique_expansion(hg).localCheckpoint(eager=True)
+        shared["hg"], shared["adj"] = hg, adj
+        return adj.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
+
+    def tc_shared(spark, sf_dir):
+        return triangle_count(shared["hg"], adj=shared["adj"])
+
+    def coreness_shared(spark, sf_dir):
+        return coreness(shared["hg"], adj=shared["adj"]).coreness
+
+    return {
+        "lp_bucketed_build": lp_bucketed_build,
+        "lp_bucketed_run": lp_bucketed_run,
+        "clique_adj_build": clique_adj_build,
+        "triangle_count": tc_shared,
+        "coreness": coreness_shared,
+    }, shared
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -61,6 +123,8 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus)
 
     queries = entrymod.queries()
+    specials, shared = _special_entries(spark, sf_dir)
+    queries.update(specials)
     # untimed session warm-up: C2 JIT + codegen cold-start otherwise
     # lands entirely on whichever query runs first (in r02 lp_superstep
     # absorbed ~10 s of it, reading as a per-query regression).  Warm
@@ -82,6 +146,10 @@ def main() -> None:
         n = obs.get["n"]
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        if name == "lp_bucketed_run" and "bucketed_hg" in shared:
+            shared["bucketed_hg"].unpersist()
+    if "hg" in shared:
+        shared["hg"].unpersist()
 
     # LP throughput to convergence (BASELINE.json metric): supersteps/sec
     # and edges-processed/sec (each superstep touches every incidence row

@@ -50,12 +50,17 @@ class KCoreResult:
     removed_per_iter: list[int] = field(default_factory=list)
 
 
-def k_core(hg: Hypergraph, k: int, max_iterations: int = 200) -> KCoreResult:
+def k_core(
+    hg: Hypergraph,
+    k: int,
+    max_iterations: int = 200,
+    adj: DataFrame | None = None,
+) -> KCoreResult:
     """Vertices of the k-core of the co-occurrence graph."""
     if k < 1:
         raise ValueError("k must be >= 1")
     # symmetric adjacency (both directions) so degree = neighbor count
-    half = clique_expansion(hg)
+    half = clique_expansion(hg) if adj is None else adj
     adj = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
@@ -114,6 +119,7 @@ def coreness(
     max_iterations: int = 500,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    adj: DataFrame | None = None,
 ) -> CorenessResult:
     """Per-vertex core number of the co-occurrence graph (full k-core
     decomposition) by the iterated h-index fixed point (module doc).
@@ -124,8 +130,11 @@ def coreness(
     observe()-fused change count riding the checkpoint job.  Stops at
     the first round with zero changes (the fixed point IS coreness).
     Isolated vertices get coreness 0 via the universe left-join.
+
+    ``adj``: optional precomputed clique expansion (distinct u < v
+    pairs) shared across the co-occurrence family — see triangle_count.
     """
-    half = clique_expansion(hg)
+    half = clique_expansion(hg) if adj is None else adj
     adj = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)

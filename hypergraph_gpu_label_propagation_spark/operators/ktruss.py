@@ -37,11 +37,20 @@ class KTrussResult:
     removed_per_iter: list[int] = field(default_factory=list)
 
 
-def k_truss(hg: Hypergraph, k: int, max_iterations: int = 200) -> KTrussResult:
-    """Edges (u < v) of the k-truss of the co-occurrence graph."""
+def k_truss(
+    hg: Hypergraph,
+    k: int,
+    max_iterations: int = 200,
+    adj: DataFrame | None = None,
+) -> KTrussResult:
+    """Edges (u < v) of the k-truss of the co-occurrence graph.
+
+    ``adj``: optional precomputed clique expansion (distinct u < v
+    pairs, already materialized) — see triangle_count."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 triangles per edge)")
-    base = clique_expansion(hg).localCheckpoint(eager=True)  # distinct u < v
+    # distinct u < v
+    base = clique_expansion(hg).localCheckpoint(eager=True) if adj is None else adj
     alive = base
     n_alive = alive.count()
     removed_per_iter: list[int] = []

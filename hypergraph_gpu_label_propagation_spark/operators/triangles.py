@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 
@@ -48,13 +49,29 @@ def clique_expansion(hg: Hypergraph, max_edge_size: int | None = None) -> DataFr
     )
 
 
-def triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFrame:
-    """Single-row DataFrame (n_triangles: long)."""
-    # eager localCheckpoint, not persist(): adj is referenced 3x (wedge
-    # build + semi-join), and checkpoint blocks are reclaimed by the
-    # ContextCleaner once the frame is GC'd — a CacheManager persist()
-    # entry would leak across a long session until explicit unpersist
-    adj = clique_expansion(hg, max_edge_size).localCheckpoint(eager=True)
+def triangle_count(
+    hg: Hypergraph,
+    max_edge_size: int | None = None,
+    adj: DataFrame | None = None,
+) -> DataFrame:
+    """Single-row DataFrame (n_triangles: long).
+
+    ``adj``: optional precomputed clique expansion (distinct u < v
+    pairs, already materialized) — the whole co-occurrence family
+    (triangles / coreness / k-truss / modularity) accepts it so one
+    persisted expansion serves every member (bench builds it once).
+    """
+    # persist()+count(), not eager localCheckpoint: the round-4 A/B
+    # (tools/ab_triangles.py, 4 alternating reps at sf0.1, min/median)
+    # measured A=localCheckpoint 5.68/9.04s, B=persist+count 5.53/5.70s,
+    # C=none 9.04/9.65s — persist wins and is far more noise-robust.
+    # The 1-row result is materialized eagerly so adj can be unpersisted
+    # before returning (no CacheManager entry outlives the call).
+    own = None
+    if adj is None:
+        own = clique_expansion(hg, max_edge_size).persist(StorageLevel.MEMORY_AND_DISK)
+        own.count()
+        adj = own
     wedges = adj.join(
         adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
     )  # u < v < w by construction
@@ -62,13 +79,24 @@ def triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFram
         adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
     )
     out = tri.agg(F.count("*").alias("n_triangles"))
+    if own is not None:
+        out = out.localCheckpoint(eager=True)  # 1 row — materialize now
+        own.unpersist()
     return out
 
 
-def per_vertex_triangle_count(hg: Hypergraph, max_edge_size: int | None = None) -> DataFrame:
+def per_vertex_triangle_count(
+    hg: Hypergraph,
+    max_edge_size: int | None = None,
+    adj: DataFrame | None = None,
+) -> DataFrame:
     """(vertex_id, n_triangles) — triangles incident to each vertex;
     degree-0 / triangle-free vertices get 0."""
-    adj = clique_expansion(hg, max_edge_size).localCheckpoint(eager=True)
+    own = None
+    if adj is None:
+        own = clique_expansion(hg, max_edge_size).persist(StorageLevel.MEMORY_AND_DISK)
+        own.count()
+        adj = own
     wedges = adj.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
     tri = wedges.join(adj.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
     per = (
@@ -76,12 +104,16 @@ def per_vertex_triangle_count(hg: Hypergraph, max_edge_size: int | None = None) 
         .groupBy("vertex_id")
         .agg(F.count("*").alias("cnt"))
     )
-    return hg.vertices().join(per, "vertex_id", "left").select(
+    out = hg.vertices().join(per, "vertex_id", "left").select(
         "vertex_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles")
     )
+    if own is not None:
+        out = out.localCheckpoint(eager=True)  # vertex-sized — materialize
+        own.unpersist()
+    return out
 
 
-def modularity(hg, labels):
+def modularity(hg, labels, adj: DataFrame | None = None):
     """Newman modularity of a vertex labeling on the clique-expanded
     co-occurrence graph: Q = sum_c [ e_c/m - (d_c/(2m))^2 ] with e_c =
     intra-community edges, d_c = total degree of community c, m = total
@@ -93,7 +125,8 @@ def modularity(hg, labels):
     """
     from pyspark.sql import functions as F
 
-    adj = clique_expansion(hg)  # distinct u < v pairs
+    if adj is None:
+        adj = clique_expansion(hg)  # distinct u < v pairs
     m = adj.agg(F.count("*").cast("double").alias("m"))
     deg = (
         adj.select(F.col("u").alias("x"))

@@ -145,80 +145,82 @@ def load_json_simple_distributed(spark: SparkSession, path: str) -> HypergraphFr
     return HypergraphFrames(incidence, labels, num_vertices, num_edges, incidence_pos)
 
 
-RICH_SCHEMA = (
-    "`type` string, `hypergraph-data` map<string,string>, "
-    "`node-data` map<string,string>, `edge-dict` map<string,array<string>>, "
-    "`labels` array<int>"
-)
-
-
 def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFrames:
     """Distributed rich-schema ingest (reference utils.hpp:225-288).
 
-    The file is parsed executor-side by ``spark.read.json`` with an
-    explicit MapType schema — Spark's Jackson parser stores map entries
-    in document order, so ``map_keys``/``map_entries`` + ``posexplode``
-    recover exactly the orders the reference's first-seen densification
-    depends on (node-data key order, then edge-dict document order,
-    utils.hpp:167-175).
+    Document order is recovered EXPLICITLY from the raw text:
+    ``json_object_keys`` (a streaming-parser builtin that returns an
+    object's keys as an ARRAY, necessarily in document order) gives the
+    node-data key order and the edge-dict entry order as positions, and
+    ``from_json`` supplies the member arrays which are joined back by
+    edge key — nothing depends on the (undocumented) iteration order of
+    a parsed MapType column, which earlier revisions relied on.
 
-    .. caution:: map-entry document order is an implementation detail of
-       Spark's Jackson ``ArrayBasedMapData`` path (observed stable on
-       Spark 3.x-4.1), NOT a documented contract.  The parity test
-       ``tests/test_ingest.py::test_json_rich_distributed_parity``
-       guards it: if a Spark upgrade reorders map entries that test
-       fails loudly.  The order-independent fallback is to parse the raw
-       text with ``from_json`` over a struct schema + ``posexplode``
-       (explicit positions), at the cost of schema-per-file codegen.
-
-    The ONLY sequential step is numbering the distinct vertex ids
-    (a row_number over one row per vertex — the id map, not the
-    incidence data); the map is then broadcast into the incidence join.
-    Everything sized O(|incidence|) stays distributed.
+    Everything sized O(|incidence|) stays distributed; the first-seen
+    numbering of edge-only vertices uses the same two-step distributed
+    dense-rank as the source_files derivation (``dense_rank_by``), so
+    no data-sized global window exists on any ingest path.
     """
-    raw = spark.read.option("multiLine", "true").schema(RICH_SCHEMA).json(path)
+    from hypergraph_gpu_label_propagation_spark.sources.source_files import (
+        dense_rank_by,
+    )
+
+    raw = spark.read.text(path, wholetext=True)
+    doc = raw.select(
+        F.get_json_object("value", "$['node-data']").alias("nd"),
+        F.get_json_object("value", "$['edge-dict']").alias("ed"),
+        F.get_json_object("value", "$['labels']").alias("labels_json"),
+    )
 
     # node-data keys in document order -> ranks 0..k-1
-    node_sids = raw.select(
-        F.posexplode_outer(F.map_keys(F.col("node-data"))).alias("pos", "sid")
+    node_sids = doc.select(
+        F.posexplode_outer(F.json_object_keys("nd")).alias("pos", "sid")
     ).filter(F.col("sid").isNotNull())
 
-    # edge-dict entries in document order: edge_id = position; members
-    # keep their in-array position for first-seen tie-breaking
-    entries = raw.select(
-        F.posexplode_outer(F.map_entries(F.col("edge-dict"))).alias("epos", "e")
-    ).filter(F.col("e").isNotNull())
+    # edge-dict: key order from json_object_keys (document order by
+    # construction), member arrays from from_json, joined on the key
+    edge_keys = doc.select(
+        F.posexplode_outer(F.json_object_keys("ed")).alias("epos", "eid")
+    ).filter(F.col("eid").isNotNull())
+    edge_vals = doc.select(
+        F.explode_outer(F.from_json("ed", "map<string,array<string>>"))
+        .alias("eid", "members")
+    ).filter(F.col("eid").isNotNull())
+    n_keys = edge_keys.count()
+    if edge_keys.select("eid").distinct().count() != n_keys:
+        raise ValueError("JSON: duplicate edge-dict keys")
+    entries = edge_keys.join(edge_vals, "eid")
     members = entries.select(
         F.col("epos").cast("long").alias("edge_id"),
-        F.col("e.key").alias("eid"),
-        F.posexplode("e.value").alias("mpos", "sid"),
+        "eid",
+        F.posexplode("members").alias("mpos", "sid"),
     )
     if members.filter(F.col("sid").isNull()).limit(1).count():
         raise ValueError("JSON: null member in edge-dict")
-    if (
-        entries.filter(F.size("e.value") == 0).limit(1).count()
-    ):
+    if entries.filter(F.size("members") == 0).limit(1).count():
         raise ValueError("JSON: hyperedge cannot be empty (utils.hpp:317)")
 
     # first-seen order: node-data keys first (their document rank), then
-    # edge-dict members by (edge position, member position)
-    from pyspark.sql import Window
-
+    # edge-dict members by (edge position, member position) — ranked
+    # with the range-partitioned distributed dense-rank (no global
+    # window over the id map)
     first_edge_seen = (
         members.groupBy("sid")
         .agg(F.min(F.struct("edge_id", "mpos")).alias("first"))
         .join(node_sids.select("sid"), "sid", "left_anti")
     )
     n_nodes = node_sids.count()
-    # global window over the ID MAP (one row per distinct vertex string,
-    # not per incidence row) — the warning it logs is benign at this
-    # size; if an input ever has >10^7 distinct vertex strings, switch
-    # to dense_ids' range-partitioned rank (source_files.py)
-    w = Window.orderBy(F.col("first.edge_id"), F.col("first.mpos"))
-    idmap = node_sids.select("sid", F.col("pos").cast("long").alias("vid")).unionByName(
+    edge_only = dense_rank_by(
         first_edge_seen.select(
-            "sid", (F.row_number().over(w) - 1 + F.lit(n_nodes)).cast("long").alias("vid")
-        )
+            "sid",
+            F.col("first.edge_id").alias("_fe"),
+            F.col("first.mpos").alias("_fm"),
+        ),
+        ["_fe", "_fm"],
+        "_r",
+    )
+    idmap = node_sids.select("sid", F.col("pos").cast("long").alias("vid")).unionByName(
+        edge_only.select("sid", (F.col("_r") + F.lit(n_nodes)).cast("long").alias("vid"))
     ).localCheckpoint(eager=True)
 
     num_vertices = idmap.count()
@@ -229,21 +231,21 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
     )
     incidence = incidence_pos.select("edge_id", "vertex_id")
 
-    labels_len = raw.select(F.size("labels")).first()[0]
+    labels_arr = doc.select(F.from_json("labels_json", "array<int>").alias("labels"))
+    labels_len = labels_arr.select(F.size("labels")).first()[0]
     if labels_len is not None and labels_len >= 0:
         if labels_len != num_vertices:
             raise ValueError(
                 "JSON: labels size must equal number of vertices (utils.hpp:293-295)"
             )
-        labels = raw.select(
+        labels = labels_arr.select(
             F.posexplode("labels").alias("vertex_id", "label")
         ).select(F.col("vertex_id").cast("long"), F.col("label").cast("int"))
     else:
         labels = spark.range(num_vertices).select(
             F.col("id").alias("vertex_id"), F.lit(0).cast("int").alias("label")
         )
-    num_edges = entries.count()
-    return HypergraphFrames(incidence, labels, num_vertices, num_edges, incidence_pos)
+    return HypergraphFrames(incidence, labels, num_vertices, n_keys, incidence_pos)
 
 
 def collect_edge_member_lists(frames: HypergraphFrames) -> list:

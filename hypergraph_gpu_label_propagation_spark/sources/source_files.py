@@ -91,35 +91,58 @@ def synth_source_files(
     )
 
 
-def dense_ids(df: DataFrame, cols: list[str], out: str, buckets: int = 256) -> DataFrame:
-    """Assign dense ids 0..n-1 to distinct `cols` tuples, deterministically
-    ordered by the tuple itself.
+def dense_rank_by(
+    df: DataFrame, order_cols: list[str], out: str, buckets: int = 256
+) -> DataFrame:
+    """Dense 0..n-1 rank of ``df``'s rows by ``order_cols`` (which must
+    be unique per row) — the two-step distributed dense-rank shared by
+    every densification path in the engine (here and the rich-JSON
+    loader's first-seen numbering):
 
-    Two-step distributed dense-rank: range-partition the distinct keys
-    (ranges are key-ordered), per-range ``row_number``, plus a broadcast
-    of cumulative range offsets — avoids the single-partition global
-    window at scale.  Because the total order is by key alone, ids are
-    independent of partition count AND range boundaries, and an SQL
-    engine reproduces them with ``ROW_NUMBER() OVER (ORDER BY key)`` —
-    which is how the DuckDB oracle twin checks this path.
+    range-partition on the order key (ranges are key-ordered), per-range
+    ``row_number``, plus a broadcast of cumulative range offsets —
+    avoids the single-partition global window at scale.  Because the
+    total order is by key alone, ranks are independent of partition
+    count AND range boundaries, so an SQL engine reproduces them with
+    ``ROW_NUMBER() OVER (ORDER BY key)``.
     """
-    distinct = df.select(*cols).distinct().repartitionByRange(buckets, *cols)
-    w = Window.partitionBy("_b").orderBy(*cols)
+    part = df.repartitionByRange(buckets, *order_cols)
+    w = Window.partitionBy("_b").orderBy(*order_cols)
+    # MUST materialize: repartitionByRange SAMPLES its boundaries with a
+    # per-execution seed, and `ranked` is referenced twice below (rows +
+    # offsets).  Without pinning, the two subplan instantiations can
+    # draw different boundaries when the exchange isn't reused, making
+    # _rn and _off inconsistent (observed at 350k keys: rank drift vs
+    # the global order, and count()/collect() disagreeing on one query).
     ranked = (
-        distinct.withColumn("_b", F.spark_partition_id())
+        part.withColumn("_b", F.spark_partition_id())
         .withColumn("_rn", F.row_number().over(w) - 1)
+        .localCheckpoint(eager=True)
     )
     counts = ranked.groupBy("_b").agg(F.count("*").alias("_n"))
-    # BOUNDED global window: `counts` has exactly one row per range
-    # bucket (<= `buckets` <= 256 rows by construction), so the
-    # "WindowExec: No Partition Defined" warning it triggers is benign —
-    # this is the broadcast-offsets step, never data-sized
-    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select("_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    # cumulative offsets per range bucket WITHOUT a global window: a
+    # non-equi self-join over the <= `buckets` (<= 256) count rows —
+    # O(buckets^2) on a metadata-sized frame, planned as a broadcast
+    # nested-loop join, so NO "WindowExec: No Partition Defined" stage
+    # exists anywhere in a densification plan
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._b") < F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_off"))
+    )
     return (
         ranked.join(F.broadcast(offsets), "_b")
-        .select(*cols, (F.col("_rn") + F.col("_off")).cast("long").alias(out))
+        .withColumn(out, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_b", "_rn", "_off")
     )
+
+
+def dense_ids(df: DataFrame, cols: list[str], out: str, buckets: int = 256) -> DataFrame:
+    """Assign dense ids 0..n-1 to distinct `cols` tuples, deterministically
+    ordered by the tuple itself (== ``ROW_NUMBER() OVER (ORDER BY key)``,
+    which is how the DuckDB oracle twin checks this path)."""
+    return dense_rank_by(df.select(*cols).distinct(), cols, out, buckets)
 
 
 def derive_hypergraph_frames(

@@ -268,3 +268,83 @@ def test_json_roundtrip_preserves_member_order(spark, tmp_path):
     p2 = str(tmp_path / "b.json")
     save_hypergraph_json(fr, p2)
     assert _json.load(open(p2)) == doc
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.slow
+def test_json_rich_distributed_stress_1m(spark, tmp_path):
+    """Round-4 ingest stress (reference semantics utils.hpp:153-298): a
+    ~10^6-incidence-row rich-schema document through the distributed
+    loader, checked EXACTLY against a pure-python replica of the
+    first-seen densification (order-insensitive checksum over the full
+    (edge_id, vertex_id) multiset), plus a plan assertion that no
+    single-partition (global-window) stage exists in any loader plan.
+    """
+    from hypergraph_gpu_label_propagation_spark.sources.json_loader import (
+        load_json_rich_distributed,
+    )
+
+    V, E, K = 400_000, 250_000, 4  # 1M member entries, ~V distinct sids
+    node_sids = [f"n{i}" for i in range(50_000)]
+
+    def members(e):
+        # collision-free within an edge: 104729*i distinct mod V for i<4
+        return [f"s{(e * 7919 + i * 104729) % V}" for i in range(K)]
+
+    nd = "{" + ",".join(f'"{s}":{{}}' for s in node_sids) + "}"
+    ed = "{" + ",".join(
+        f'"e{e}":[' + ",".join(f'"{m}"' for m in members(e)) + "]"
+        for e in range(E)
+    ) + "}"
+    p = str(tmp_path / "rich_1m.json")
+    with open(p, "w") as f:
+        f.write('{"type":"hypergraph","node-data":' + nd + ',"edge-dict":' + ed + "}")
+
+    # pure-python reference densification (document order == dict order)
+    idmap = {s: i for i, s in enumerate(node_sids)}
+    checksum = rows = 0
+    for e in range(E):
+        for m in members(e):
+            if m not in idmap:
+                idmap[m] = len(idmap)
+            checksum += e * 1_000_003 + idmap[m]
+            rows += 1
+
+    frames = load_json_rich_distributed(spark, p)
+    assert frames.num_edges == E
+    assert frames.num_vertices == len(idmap)
+    got = frames.incidence.agg(
+        F.sum(F.col("edge_id") * 1_000_003 + F.col("vertex_id")).alias("cs"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert (got["cs"], got["n"]) == (checksum, rows)
+    # no data-sized single-partition stage anywhere in the loader plans
+    # (an unpartitioned Window would require a SinglePartition exchange)
+    assert "SinglePartition" not in _plan_of(frames.incidence)
+
+
+@pytest.mark.slow
+def test_dense_rank_by_plan_has_no_single_partition(spark):
+    from hypergraph_gpu_label_propagation_spark.sources.source_files import (
+        dense_rank_by,
+    )
+
+    df = spark.range(1_000_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    ranked = dense_rank_by(df, ["key"], "rid")
+    assert "SinglePartition" not in _plan_of(ranked)
+    # ranks are a permutation of 0..n-1 ordered by key
+    n = ranked.count()
+    assert n == 1_000_000
+    top = ranked.orderBy("key").limit(3).collect()
+    assert [r["rid"] for r in top] == [0, 1, 2]
