@@ -65,8 +65,14 @@ def main() -> None:
     ).localCheckpoint(eager=True)
 
     # same loop-scoped tuning the label_propagation driver applies
-    # (plans/tuning.py): AQE off, data-sized shuffle partitions
-    with loop_conf(spark, loop_partitions(n_inc, cores)):
+    # (plans/tuning.py): AQE off, data-sized shuffle partitions.
+    # LP_SCALE_PARTITIONS overrides the formula for cap A/Bs.
+    import os
+
+    n_part = int(os.environ.get("LP_SCALE_PARTITIONS", "0")) or loop_partitions(
+        n_inc, cores
+    )
+    with loop_conf(spark, n_part):
         # untimed warmup supersteps: C2 JIT + codegen compile + page cache
         # (measured: the first 3-5 supersteps at 32 cores run 3-6x slower
         # than steady state purely from JIT warm-in; on a real cluster a
