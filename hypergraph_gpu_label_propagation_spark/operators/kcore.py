@@ -134,10 +134,19 @@ def coreness(
     ``adj``: optional precomputed clique expansion (distinct u < v
     pairs) shared across the co-occurrence family — see triangle_count.
     """
+    cores = hg.spark.sparkContext.defaultParallelism
+    n_part = loop_partitions(hg.count_incidence(), cores)
     half = clique_expansion(hg) if adj is None else adj
-    adj = half.unionByName(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    # pre-partition the symmetrized adjacency on the per-round join key
+    # at the LOOP's partition count: the neighbor-values join inside the
+    # loop then reuses this hashpartitioning(v, n_part) and only the
+    # (vertex-sized) state frame exchanges each round — the adjacency
+    # (the big side) is shuffled exactly once, here
+    adj = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(n_part, "v")
+        .localCheckpoint(eager=True)
+    )
 
     start = 0
     state = None

@@ -44,13 +44,16 @@ def loop_partitions(
 
     Data-sized, not a constant: ceil(rows / 500k), floored at ``floor``
     (don't starve small graphs of parallelism entirely) and capped at
-    4x cores (beyond that, extra tasks are pure scheduling overhead on a
-    fixed-core stage; a 1000-executor cluster raises the cap simply by
-    having more cores).
+    2x cores — fewer-wider tasks.  Round-4 A/B on the 200M-row kernel
+    at local[32], 64g heap, 6 timed steps each: cap 2x (64 parts)
+    min/median 23.4/26.3 s vs cap 4x (128 parts) 26.3/34.0 s — beyond
+    ~2 waves, extra tasks are pure scheduling overhead on a fixed-core
+    stage (a 1000-executor cluster raises the cap simply by having more
+    cores).
     """
     if incidence_rows is None:
         return max(floor, cores)
-    return max(floor, min(4 * cores, math.ceil(incidence_rows / ROWS_PER_PARTITION)))
+    return max(floor, min(2 * cores, math.ceil(incidence_rows / ROWS_PER_PARTITION)))
 
 
 @contextmanager

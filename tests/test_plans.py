@@ -120,4 +120,4 @@ def test_loop_conf_restores_on_error(spark):
     assert loop_partitions(None, 32) == 32
     assert loop_partitions(100, 32) == 8
     assert loop_partitions(20_000_000, 32) == 40
-    assert loop_partitions(10**12, 32) == 128
+    assert loop_partitions(10**12, 32) == 64  # cap 2x cores (round-4 A/B)
