@@ -495,39 +495,88 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def q_text_quality(spark, sf_dir):
-    return quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
-        F.col("doc_id").cast("long"),
-        F.col("n_chars").cast("long"),
-        F.col("n_tokens").cast("long"),
-        F.col("n_distinct").cast("long"),
-        "distinct_ratio",
-        "stopword_ratio",
-    )
-
-
-def q_text_langid(spark, sf_dir):
-    return detect_language(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
-        F.col("doc_id").cast("long"), "lang_guess"
-    )
-
-
-def q_text_tokens(spark, sf_dir):
-    """Token counting three ways (prompt checklist): whitespace tokens,
-    regex pre-tokenizer tokens, and a BPE-ish ceil(len/4) subword
-    estimate per regex token."""
+def q_text_profile(spark, sf_dir):
+    """The whole per-document text-analysis surface in ONE scan — the
+    production shape (compute every stat in one pass over the corpus):
+    quality features (length/diversity/stopword), regex + BPE-ish token
+    counts, content fingerprint, and language ID.  Replaces the four
+    separate round-3 contract rows (text_quality/langid/tokens/
+    fingerprint; driver gate caps at 50 entries) with identical
+    per-column semantics."""
     from hypergraph_gpu_label_propagation_spark.functions.text import (
         bpe_token_estimate,
         regex_tokens,
-        token_count,
     )
 
+    docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long"),
-        token_count(t).cast("long").alias("n_ws_tokens"),
+    base = quality_features(docs, "doc_id", "text")
+    extra = docs.select(
+        "doc_id",
         F.size(regex_tokens(t)).cast("long").alias("n_regex_tokens"),
         bpe_token_estimate(t).cast("long").alias("bpe_estimate"),
+        fingerprint(t).alias("fp"),
+    )
+    lang = detect_language(docs, "doc_id", "text")
+    return (
+        base.join(extra, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_chars").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.col("n_distinct").cast("long"),
+            "distinct_ratio",
+            "stopword_ratio",
+            "n_regex_tokens",
+            "bpe_estimate",
+            "fp",
+            "lang_guess",
+        )
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition quality signal (Gopher §A.1.1): the
+    duplicate-3-gram fraction per document — pure column expressions."""
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        repetition_features,
+    )
+
+    return repetition_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    ).select(
+        F.col("doc_id").cast("long"), "n_ngrams", "n_distinct_ngrams",
+        "dup_ngram_ratio",
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any 3-token
+    shingle with the (deterministic) benchmark subset doc_id % 97 == 0
+    — broadcast benchmark-shingle join, no corpus-side shuffle."""
+    from hypergraph_gpu_label_propagation_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, "doc_id", "text", n=3).select(
+        F.col("doc_id").cast("long"), "n_hit_shingles", "contaminated"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language rebalancing sample (keep all de, half of en, ...)
+    — deterministic per-stratum hash rates, engine/retry-stable."""
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"de": 1.0, "en": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.75}
+    return stratified_sample(docs, "doc_id", "lang", rates, seed=11).select(
+        F.col("doc_id").cast("long"), "lang"
     )
 
 
@@ -546,12 +595,6 @@ def q_doc_split(spark, sf_dir):
         F.col("doc_id").cast("long"), "split"
     )
     return sampled
-
-
-def q_text_fingerprint(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long"), fingerprint(F.col("text")).alias("fp")
-    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -972,11 +1015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "near_dup": q_near_dup,
         "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_tokens": q_text_tokens,
+        "text_profile": q_text_profile,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "doc_split": q_doc_split,
-        "text_fingerprint": q_text_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh": q_minhash_lsh,
@@ -1775,28 +1818,67 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
             "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
         ),
-        "text_quality": (
-            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) "
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CAST(length(text) AS BIGINT) AS n_chars, "
-            "CAST(len(toks) AS BIGINT) AS n_tokens, "
-            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
-            "ROUND(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio, "
-            f"ROUND(len(list_filter(toks, x -> x IN ({sw}))) / len(toks), 6) AS stopword_ratio "
-            "FROM t"
-        ),
-        "text_langid": (
+        "text_profile": (
+            # ONE scan computing the full per-doc text surface, LEFT JOIN
+            # with the language-ID winner (same marker-vote semantics)
             f"WITH markers(lang_cand, word) AS (VALUES {markers_values}), "
+            "t AS (SELECT doc_id, text, string_split(text, ' ') AS toks, "
+            r"  regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS rt "
+            "FROM documents), "
             "tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents), "
-            "hits AS (SELECT t.doc_id, m.lang_cand, COUNT(*) AS h FROM tok t "
+            "hits AS (SELECT tk.doc_id, m.lang_cand, COUNT(*) AS h FROM tok tk "
             "  JOIN markers m USING (word) GROUP BY 1, 2), "
             "mx AS (SELECT doc_id, MAX(h) AS h FROM hits GROUP BY doc_id), "
             "win AS (SELECT hits.doc_id, MIN(hits.lang_cand) AS lang_guess "
             "  FROM hits JOIN mx ON hits.doc_id = mx.doc_id AND hits.h = mx.h "
             "  GROUP BY hits.doc_id) "
-            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
+            "ROUND(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio, "
+            f"ROUND(len(list_filter(toks, x -> x IN ({sw}))) / len(toks), 6) AS stopword_ratio, "
+            "CAST(len(rt) AS BIGINT) AS n_regex_tokens, "
+            "CAST(COALESCE(list_sum(list_transform(rt, "
+            "  x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_estimate, "
+            "md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp, "
             "COALESCE(w.lang_guess, 'und') AS lang_guess "
-            "FROM documents d LEFT JOIN win w USING (doc_id)"
+            "FROM t LEFT JOIN win w ON t.doc_id = w.doc_id"
+        ),
+        "doc_repetition": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "  list_transform(range(1, len(toks) - 1), "
+            "    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+            "  ELSE []::VARCHAR[] END AS ngs FROM t) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(ngs) AS BIGINT) AS n_ngrams, "
+            "CAST(len(list_distinct(ngs)) AS BIGINT) AS n_distinct_ngrams, "
+            "CASE WHEN len(ngs) > 0 THEN "
+            "  ROUND(CAST(1.0 AS DOUBLE) - len(list_distinct(ngs)) / len(ngs), 6) "
+            "ELSE 0.0 END AS dup_ngram_ratio FROM g"
+        ),
+        "decontaminate": (
+            "WITH sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+            "  range(1, len(string_split(text, ' ')) - 1), "
+            "  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+            "       || ' ' || string_split(text, ' ')[i+2]))) AS shingle FROM documents), "
+            "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT doc_id, COUNT(*) AS nh FROM sh JOIN bsh USING (shingle) "
+            "  GROUP BY doc_id) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit_shingles, "
+            "CAST(COALESCE(h.nh, 0) > 0 AS INT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "stratified_sample": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT "
+            "    % 1000000 AS b FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM h "
+            "WHERE b < CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 500000 "
+            "  WHEN 'es' THEN 250000 WHEN 'fr' THEN 100000 WHEN 'zh' THEN 750000 "
+            "  ELSE 0 END"
         ),
         "doc_split": (
             # same md5 60-bit bucket hash (seed 42 for the split, 7 for
@@ -1812,24 +1894,6 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "CASE WHEN b42 < 100000 THEN 'test' "
             "     WHEN b42 < 900000 THEN 'train' ELSE 'val' END AS split "
             "FROM h WHERE b7 < 500000"
-        ),
-        "text_tokens": (
-            r"WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, "
-            r"  regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS rt "
-            "FROM documents) "
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CAST(len(ws) AS BIGINT) AS n_ws_tokens, "
-            "CAST(len(rt) AS BIGINT) AS n_regex_tokens, "
-            # COALESCE: DuckDB list_sum is NULL on an empty list while the
-            # Spark aggregate returns 0 — normalize for zero-token docs
-            "CAST(COALESCE(list_sum(list_transform(rt, "
-            "  x -> CAST(ceil(len(x) / 4.0) AS BIGINT))), 0) "
-            "  AS BIGINT) AS bpe_estimate FROM t"
-        ),
-        "text_fingerprint": (
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp "
-            "FROM documents"
         ),
         "ngram_jaccard": (
             "WITH sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("

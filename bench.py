@@ -47,7 +47,7 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "embedding_near_dup",
-    "text_quality",
+    "text_profile",
     "agg_pushdown",
     "events_stream",
     "events_user_stats",

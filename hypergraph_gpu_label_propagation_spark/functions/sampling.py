@@ -46,6 +46,36 @@ def hash_sample(
     return df.filter(_bucket_hash(F.col(id_col), seed) < F.lit(_threshold(fraction)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source
+    rebalancing step of a training-data pipeline (e.g. downsample
+    over-represented English, keep all of a rare language).  Each
+    stratum keeps ~``rates[stratum]`` of its rows by id hash; strata
+    not listed keep ``default_rate``.  Same id+seed → same decision,
+    on any engine/partitioning/retry."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1], got {v}")
+    thr = None
+    for name in sorted(rates):
+        cond = F.col(stratum_col) == name
+        t = F.lit(_threshold(rates[name]))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(_threshold(default_rate))
+        if thr is None
+        else thr.otherwise(F.lit(_threshold(default_rate)))
+    )
+    return df.filter(_bucket_hash(F.col(id_col), seed) < thr)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -89,6 +89,33 @@ def bpe_token_estimate(text: Column | str) -> Column:
     )
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, n_ngrams, n_distinct_ngrams, dup_ngram_ratio) — the Gopher
+    within-document repetition quality signal (Rae et al. 2021 §A.1.1:
+    heavily repetitive documents are low-quality): the fraction of
+    n-token shingles that are duplicates of an earlier shingle in the
+    SAME document.  Pure column expressions; docs shorter than ``n``
+    tokens have 0 shingles and ratio 0."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    ngs = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+    total = F.size(ngs)
+    nd = F.size(F.array_distinct(ngs))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        nd.cast("long").alias("n_distinct_ngrams"),
+        F.when(total > 0, F.round(1.0 - nd / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_ratio"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set."""

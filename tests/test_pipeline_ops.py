@@ -390,3 +390,79 @@ def test_approx_stats_within_tolerance_of_exact(spark):
     }
     for g, n in exact.items():
         assert abs(ad[g] - n) <= 0.15 * n, (g, ad[g], n)
+
+
+def test_decontaminate_flags_overlap(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),        # contains bench shingle
+            (1, "totally different words here now"),  # clean
+            (2, "short"),                             # < n tokens -> clean
+            (3, "quick brown fox of doom"),           # shares 'quick brown fox'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, "doc_id", "text").collect()}
+    assert rows[0]["contaminated"] == 1 and rows[0]["n_hit_shingles"] >= 2
+    assert rows[1]["contaminated"] == 0 and rows[1]["n_hit_shingles"] == 0
+    assert rows[2]["contaminated"] == 0
+    assert rows[3]["contaminated"] == 1
+    # non-broadcast path: identical answer
+    rows2 = {
+        r["doc_id"]: tuple(r)
+        for r in decontaminate(
+            docs, bench, "doc_id", "text", broadcast_benchmark=False
+        ).collect()
+    }
+    assert rows2 == {k: tuple(v) for k, v in rows.items()}
+
+
+def test_repetition_features(spark):
+    from hypergraph_gpu_label_propagation_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),  # 7 3-grams, 3 distinct
+            (1, "all words unique in this doc"),
+            (2, "x y"),  # too short
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs, "doc_id", "text").collect()}
+    assert (rows[0]["n_ngrams"], rows[0]["n_distinct_ngrams"]) == (7, 3)
+    assert abs(rows[0]["dup_ngram_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert rows[1]["dup_ngram_ratio"] == 0.0
+    assert (rows[2]["n_ngrams"], rows[2]["dup_ngram_ratio"]) == (0, 0.0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("rare")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 1.0}, seed=3)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("de") == 1333          # rate 1.0 keeps every row
+    assert "rare" not in counts              # default_rate 0 drops unlisted
+    assert 560 <= counts.get("en", 0) <= 770  # ~50% of 1334
+    # deterministic: same ids selected on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 1.0}, seed=3).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
