@@ -508,32 +508,33 @@ def q_text_profile(spark, sf_dir):
         regex_tokens,
     )
 
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        distinct_token_count,
+        stopword_count,
+        token_count,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    base = quality_features(docs, "doc_id", "text")
-    extra = docs.select(
-        "doc_id",
+    nt = token_count(t)
+    # every column-expression stat in ONE projection over ONE scan (no
+    # self-join); only the language-ID winner (a genuine aggregation)
+    # joins in, and it is vertex... doc-sized, not corpus-text-sized
+    wide = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        nt.cast("long").alias("n_tokens"),
+        distinct_token_count(t).cast("long").alias("n_distinct"),
+        F.round(distinct_token_count(t) / nt, 6).alias("distinct_ratio"),
+        F.round(stopword_count(t) / nt, 6).alias("stopword_ratio"),
         F.size(regex_tokens(t)).cast("long").alias("n_regex_tokens"),
         bpe_token_estimate(t).cast("long").alias("bpe_estimate"),
         fingerprint(t).alias("fp"),
     )
-    lang = detect_language(docs, "doc_id", "text")
-    return (
-        base.join(extra, "doc_id")
-        .join(lang, "doc_id")
-        .select(
-            F.col("doc_id").cast("long"),
-            F.col("n_chars").cast("long"),
-            F.col("n_tokens").cast("long"),
-            F.col("n_distinct").cast("long"),
-            "distinct_ratio",
-            "stopword_ratio",
-            "n_regex_tokens",
-            "bpe_estimate",
-            "fp",
-            "lang_guess",
-        )
+    lang = detect_language(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
     )
+    return wide.join(lang, "doc_id")
 
 
 def q_doc_repetition(spark, sf_dir):

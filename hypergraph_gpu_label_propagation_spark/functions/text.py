@@ -137,13 +137,13 @@ def detect_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col, "lang_cand")
         .agg(F.count("*").alias("hits"))
     )
-    # deterministic argmax: max hit count, alphabetically-smallest lang on ties
-    maxh = hits.groupBy(id_col).agg(F.max("hits").alias("hits"))
-    winner = (
-        hits.join(maxh, [id_col, "hits"])
-        .groupBy(id_col)
-        .agg(F.min("lang_cand").alias("lang_guess"))
-    )
+    # deterministic argmax in ONE aggregation (min of (-hits, lang)
+    # struct = max hit count, alphabetically-smallest lang on ties) —
+    # the max-count/join-back form evaluated the token explode twice
+    winner = hits.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("hits")).alias("nh"), F.col("lang_cand").alias("l")))
+        .alias("w")
+    ).select(id_col, F.col("w.l").alias("lang_guess"))
     return df.select(id_col).join(winner, id_col, "left").select(
         id_col, F.coalesce("lang_guess", F.lit("und")).alias("lang_guess")
     )
