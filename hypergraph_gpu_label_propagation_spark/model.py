@@ -65,6 +65,14 @@ class Hypergraph:
     num_edges: int
     num_partitions: int
     incidence_rows: int | None = None
+    # explicit skew salting (north rule: monorepo-sized hyperedges).
+    # salt > 1 adds two extra layouts partitioned by (key, _salt) so the
+    # superstep joins spread a hot key over `salt` partitions; the label
+    # frames are replicated `salt` ways into them (exact — the majority
+    # aggregation is algebraic, so two-level grouping changes nothing)
+    salt: int = 1
+    salted_by_vertex: DataFrame | None = None
+    salted_by_edge: DataFrame | None = None
     _persisted: list[DataFrame] = field(default_factory=list)
 
     def count_incidence(self) -> int:
@@ -101,6 +109,7 @@ class Hypergraph:
         num_edges: int | None = None,
         num_partitions: int | None = None,
         validate: bool = False,
+        salt: int = 1,
     ) -> "Hypergraph":
         """Build the execution form (the reference's freeze(),
         src/common/hypergraph.cpp:80-83).
@@ -109,7 +118,17 @@ class Hypergraph:
         reference's construction invariants (empty-edge rejection and
         vertex-id bounds, src/common/hypergraph.cpp:17-21), and caches
         the two partition layouts.
+
+        ``salt`` > 1 additionally caches salted layouts partitioned by
+        (key, _salt) for the superstep joins — use when max hyperedge
+        size / max vertex degree dwarfs the average (monorepo skew) AND
+        the label frames are too large to broadcast, i.e. the 10^12-file
+        regime.  The salt values are derived from the OTHER key
+        (hash(edge_id) for the by-vertex layout and vice versa), so a
+        hot key's rows spread evenly and deterministically.
         """
+        if salt < 1:
+            raise ValueError(f"salt must be >= 1, got {salt}")
         incidence = incidence.select(
             F.col("edge_id").cast("long").alias("edge_id"),
             F.col("vertex_id").cast("long").alias("vertex_id"),
@@ -167,6 +186,24 @@ class Hypergraph:
         by_edge = incidence.repartition(num_partitions, "edge_id").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        salted_by_vertex = salted_by_edge = None
+        if salt > 1:
+            salted_by_vertex = (
+                incidence.select(
+                    "edge_id", "vertex_id",
+                    F.pmod(F.xxhash64("edge_id"), F.lit(salt)).cast("int").alias("_salt"),
+                )
+                .repartition(num_partitions, "vertex_id", "_salt")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            salted_by_edge = (
+                incidence.select(
+                    "edge_id", "vertex_id",
+                    F.pmod(F.xxhash64("vertex_id"), F.lit(salt)).cast("int").alias("_salt"),
+                )
+                .repartition(num_partitions, "edge_id", "_salt")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         hg = Hypergraph(
             spark=spark,
             incidence_by_vertex=by_vertex,
@@ -176,8 +213,13 @@ class Hypergraph:
             num_edges=num_edges,
             num_partitions=num_partitions,
             incidence_rows=incidence_rows,
+            salt=salt,
+            salted_by_vertex=salted_by_vertex,
+            salted_by_edge=salted_by_edge,
         )
-        hg._persisted = [by_vertex, by_edge]
+        hg._persisted = [by_vertex, by_edge] + (
+            [salted_by_vertex, salted_by_edge] if salt > 1 else []
+        )
         return hg
 
     # -- accessors (reference hypergraph.cpp:36-49) --------------------

@@ -229,3 +229,38 @@ def test_weighted_superstep_matches_numpy_oracle(spark):
         want = oracle_weighted_vertex_majority(edges, emaj, nv, 10)
         assert got.tolist() == want.tolist(), f"seed {seed}"
         hg.unpersist()
+
+
+def test_salted_superstep_exactness(spark):
+    """freeze(salt=N) adds (key, _salt) layouts and the narrow superstep
+    joins salt-replicated label frames against them — results must be
+    BIT-IDENTICAL to the unsalted path at every superstep (the majority
+    aggregation is algebraic, so two-level spreading changes nothing)."""
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        label_propagation,
+    )
+
+    # skewed fixture: one 60-member hyperedge + one vertex in 40 edges
+    rows = [(0, v) for v in range(60)]
+    rows += [(1 + e, (7 * e) % 60) for e in range(25)]
+    rows += [(30 + e, 59) for e in range(40)]
+    inc = spark.createDataFrame(sorted(set(rows)), "edge_id long, vertex_id long")
+    init = spark.range(60).select(
+        F.col("id").alias("vertex_id"), (F.col("id") % 10).cast("int").alias("label")
+    )
+    hg_plain = Hypergraph.freeze(spark, inc)
+    hg_salted = Hypergraph.freeze(spark, inc, salt=4)
+    assert hg_salted.salted_by_vertex is not None
+    r_plain = label_propagation(hg_plain, init)
+    r_salted = label_propagation(hg_salted, init)
+    assert sorted(map(tuple, r_plain.labels.collect())) == sorted(
+        map(tuple, r_salted.labels.collect())
+    )
+    assert [m.changes for m in r_plain.metrics] == [m.changes for m in r_salted.metrics]
+    hg_plain.unpersist(); hg_salted.unpersist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Hypergraph.freeze(spark, inc, salt=0)

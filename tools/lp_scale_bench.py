@@ -40,7 +40,19 @@ def main() -> None:
     strategy = sys.argv[4] if len(sys.argv) > 4 else "narrow"
     ckpt_mode = sys.argv[5] if len(sys.argv) > 5 else "local"
 
-    spark = get_spark("lp_scale_bench", cores=cores)
+    import os as _os
+
+    # LP_SCALE_SALT: freeze-time skew salt (default 1 = off).
+    # LP_SCALE_NO_BROADCAST: disable broadcast joins — the 10^12-file
+    # proxy regime where no label frame fits in a broadcast.
+    salt = int(_os.environ.get("LP_SCALE_SALT", "1"))
+    no_bcast = _os.environ.get("LP_SCALE_NO_BROADCAST", "") == "1"
+    spark = get_spark(
+        "lp_scale_bench", cores=cores,
+        extra_conf=(
+            {"spark.sql.autoBroadcastJoinThreshold": "-1"} if no_bcast else None
+        ),
+    )
     if ckpt_mode == "reliable":
         spark.sparkContext.setCheckpointDir("/dev/shm/lp_scale_ckpt")
 
@@ -57,7 +69,7 @@ def main() -> None:
             return df
         raise ValueError(f"unknown ckpt_mode {ckpt_mode!r}")
     inc = spark.read.parquet(path)
-    hg = Hypergraph.freeze(spark, inc)
+    hg = Hypergraph.freeze(spark, inc, salt=salt)
     n_inc = hg.incidence_by_vertex.count()
     _ = hg.incidence_by_edge.count()  # materialize both layouts pre-clock
     labels = spark.range(hg.num_vertices).select(
@@ -112,6 +124,8 @@ def main() -> None:
     # median superstep time is robust to shared-host noise spikes
     med = sorted(per_step)[len(per_step) // 2]
     print(json.dumps({
+        "salt": salt,
+        "no_broadcast": no_bcast,
         "ckpt_mode": ckpt_mode,
         "strategy": strategy,
         "cores": cores,
