@@ -222,6 +222,34 @@ class Hypergraph:
         )
         return hg
 
+    # -- superstep joins (salt-aware) ----------------------------------
+
+    def _salted(self, layout: DataFrame, frame: DataFrame, key: str) -> DataFrame:
+        rep = frame.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(self.salt - 1)))
+        )
+        return layout.join(rep, [key, "_salt"]).drop("_salt")
+
+    def join_by_vertex(self, frame: DataFrame) -> DataFrame:
+        """incidence ⋈ a one-row-per-vertex frame on vertex_id — the
+        scatter-side join every gather-scatter kernel (LP/CC/PageRank)
+        starts with.  Uses the salted layout when ``freeze(salt=N)``
+        built one: ``frame`` is replicated N ways and joined on
+        (vertex_id, _salt), spreading a hot vertex over N partitions.
+        Exact whenever the downstream per-key aggregate is algebraic
+        (majority counts / min / sum all are)."""
+        if self.salt > 1 and self.salted_by_vertex is not None:
+            return self._salted(self.salted_by_vertex, frame, "vertex_id")
+        return self.incidence_by_vertex.join(frame, "vertex_id")
+
+    def join_by_edge(self, frame: DataFrame) -> DataFrame:
+        """incidence ⋈ a one-row-per-edge frame on edge_id (the gather
+        side); salted like :meth:`join_by_vertex` — a monorepo-sized
+        hyperedge's rows spread over N partitions instead of one."""
+        if self.salt > 1 and self.salted_by_edge is not None:
+            return self._salted(self.salted_by_edge, frame, "edge_id")
+        return self.incidence_by_edge.join(frame, "edge_id")
+
     # -- accessors (reference hypergraph.cpp:36-49) --------------------
 
     def degrees(self) -> DataFrame:

@@ -45,13 +45,15 @@ def cc_superstep(hg: Hypergraph, comp: DataFrame, pointer_jumping: bool = True) 
     one extra one-row-per-vertex self-join; hub-edge hypergraphs (the
     common case here) see negligible overhead.
     """
+    # join_by_vertex/join_by_edge use the salted layouts when
+    # freeze(salt=N) built them — exact (min is algebraic)
     edge_min = (
-        hg.incidence_by_vertex.join(comp, "vertex_id")
+        hg.join_by_vertex(comp)
         .groupBy("edge_id")
         .agg(F.min("component").alias("edge_min"))
     )
     gathered = (
-        hg.incidence_by_edge.join(edge_min, "edge_id")
+        hg.join_by_edge(edge_min)
         .groupBy("vertex_id")
         .agg(F.min("edge_min").alias("gather_min"))
     )

@@ -146,31 +146,17 @@ def lp_superstep(
     if strategy not in ("vector", "narrow"):
         raise ValueError(f"unknown majority strategy {strategy!r}; use 'vector' or 'narrow'")
     labels_h = vertex_labels
-    salted = strategy == "narrow" and hg.salt > 1 and hg.salted_by_vertex is not None
-
-    def _replicate(df: DataFrame) -> DataFrame:
-        # salt-replicate a one-row-per-key frame so it joins the salted
-        # layout on (key, _salt): each hot key's incidence rows are
-        # spread over hg.salt partitions instead of one (plans/skew.py
-        # salted_join, fused into the superstep; exact because the
-        # majority aggregation downstream is algebraic)
-        return df.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(hg.salt - 1)))
-        )
-
     if strategy == "vector":
         edge_labels = edge_majority_step(hg.incidence_by_vertex, labels_h, max_labels)
     else:
         # narrow shuffles: (key,label,count) rows; edges whose every
         # member is unlabeled drop out of the argmax and are coalesced
         # back to label 0 against the (co-partitioned, shuffle-free)
-        # edge universe — reference all-zero-counts rule
-        if salted:
-            gathered_e = hg.salted_by_vertex.join(
-                _replicate(labels_h), ["vertex_id", "_salt"]
-            ).select("edge_id", "label")
-        else:
-            gathered_e = hg.incidence_by_vertex.join(labels_h, "vertex_id")
+        # edge universe — reference all-zero-counts rule.  join_by_vertex
+        # / join_by_edge route through the salted layouts when
+        # freeze(salt=N) built them (model.py; exact — the majority
+        # aggregation is algebraic)
+        gathered_e = hg.join_by_vertex(labels_h)
         best_e = majority_label_grouped_sql(gathered_e, "edge_id", "label", max_labels, "_m")
         if labels_in_range:
             # every input label is in [0, max_labels) (true from the
@@ -193,14 +179,7 @@ def lp_superstep(
             "label",
             (F.col("label") != F.col("_old")).cast("int").alias("changed"),
         )
-    if salted:
-        gathered = hg.salted_by_edge.join(
-            _replicate(edge_labels), ["edge_id", "_salt"]
-        ).select("vertex_id", "label")
-    else:
-        gathered = hg.incidence_by_edge.join(edge_labels, "edge_id").select(
-            "vertex_id", "label"
-        )
+    gathered = hg.join_by_edge(edge_labels).select("vertex_id", "label")
     if strategy == "vector":
         maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
     else:

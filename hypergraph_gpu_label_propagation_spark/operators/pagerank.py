@@ -57,14 +57,16 @@ def _walk_gather(hg: Hypergraph, state: DataFrame) -> DataFrame:
         "vertex_id", (F.col("rank") * F.col("inv_degree")).alias("contrib")
     )
     # phase 1: edge mass m_e = (sum_{v in e} contrib_v) / |e|
+    # (join_by_vertex/join_by_edge route through the salted layouts when
+    # freeze(salt=N) built them — exact, sum/count are algebraic)
     edge_mass = (
-        hg.incidence_by_vertex.join(contrib, "vertex_id")
+        hg.join_by_vertex(contrib)
         .groupBy("edge_id")
         .agg((F.sum("contrib") / F.count("*")).alias("mass"))
     )
     # phase 2: gather r'_v = sum_{e incident to v} m_e
     return (
-        hg.incidence_by_edge.join(edge_mass, "edge_id")
+        hg.join_by_edge(edge_mass)
         .groupBy("vertex_id")
         .agg(F.sum("mass").alias("gathered"))
     )
