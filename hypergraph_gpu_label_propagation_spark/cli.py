@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--source-files", help="derive hypergraph from a "
                    "source_files parquet (repo/commit hyperedges)")
+    p.add_argument("--salt", type=int, default=1,
+                   help="skew salt: freeze (key,_salt) layouts and spread "
+                        "hot hyperedges/vertices over N partitions "
+                        "(use when label frames cannot broadcast)")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--metrics-json", help="write run metrics JSON here")
@@ -110,7 +114,7 @@ def make_hypergraph(spark, args):
             )
 
     hg = Hypergraph.freeze(spark, incidence, vertex_labels=labels,
-                           num_vertices=nv, num_edges=ne)
+                           num_vertices=nv, num_edges=ne, salt=args.salt)
     if args.label_classes > 0:
         hg.vertex_labels = G.random_labels(
             spark, hg.num_vertices, args.label_classes, args.label_seed
