@@ -215,3 +215,51 @@ def test_user_stats_stateful_accumulates_across_batches(spark, tmp_path):
         assert abs(final["sum_value"] - w["s"]) < 1e-9
         assert final["max_value"] == w["m"]
     assert multi > 0, "at least one user must span both micro-batches"
+
+
+def test_incremental_lp_warm_start(spark, tmp_path):
+    """Incremental LP over a growing incidence stream: each micro-batch
+    re-converges warm-started from the previous fixed point.  Contract:
+    (a) the final labels are a FIXED POINT of LP on the full graph
+    (zero changes under one more superstep), (b) the warm-started
+    batches need fewer supersteps than the first (cold) batch."""
+    import pyspark.sql.functions as F
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.streaming.lp_stream import (
+        fixed_point_violations,
+        run_incremental_lp,
+    )
+
+    stream_dir = tmp_path / "inc_stream"
+    stream_dir.mkdir()
+    # batch 1: a 60-vertex hypergraph; batch 2: 8 new edges touching a
+    # handful of vertices + 5 brand-new vertices
+    b1 = [(e, (v * 7 + e) % 60) for e in range(30) for v in range(4)]
+    b2 = [(100 + e, 55 + (e + v) % 10) for e in range(8) for v in range(3)]
+    spark.createDataFrame(sorted(set(b1)), "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b1"))
+
+    state = str(tmp_path / "lp_state")
+    r1 = run_incremental_lp(spark, str(stream_dir) + "/*", state)
+    assert r1.num_batches == 1
+    cold_supersteps = r1.supersteps_per_batch[0]
+
+    spark.createDataFrame(sorted(set(b2)), "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b2"))
+    r2 = run_incremental_lp(spark, str(stream_dir) + "/*", state)
+    assert r2.num_batches == 1  # only the new file is a new micro-batch
+    warm_supersteps = r2.supersteps_per_batch[0]
+    assert warm_supersteps <= cold_supersteps
+
+    # final labels are a fixed point of the FULL graph
+    full = spark.createDataFrame(
+        sorted(set(b1) | set(b2)), "edge_id long, vertex_id long"
+    )
+    hg = Hypergraph.freeze(spark, full)
+    labels = r2.labels
+    assert labels.count() == hg.num_vertices
+    assert fixed_point_violations(hg, labels) == 0
+    hg.unpersist()
