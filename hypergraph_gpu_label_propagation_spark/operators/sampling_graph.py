@@ -1,0 +1,94 @@
+"""Deterministic neighborhood sampling over the hypergraph — the
+GNN-training data-prep operator (GraphSAGE-style fanout sampling,
+Hamilton et al. 2017, adapted to the bipartite incidence layout).
+
+One hop = two half-hops on the incidence table:
+  vertex --(sample <= fanout_edges incident edges)--> edge
+        --(sample <= fanout_members members)--> vertex
+
+Selection is HASH-RANKED, not rand(): within each (frontier vertex)
+group, incident edges are ranked by ``h60(seed:hop:v:e)`` and the top
+``fanout`` kept (same primitive as the generators), so the sample is a
+pure function of (graph, seeds, fanouts, seed) — reproducible across
+runs, engines, partitionings, and task retries, which is what a
+training pipeline needs from "random" sampling.
+
+Scale shape: each half-hop is one join against the frozen layout plus
+one window partitioned by the frontier key (bounded by the fanout
+cap after ranking); frontier frames stay one-row-per-(seed, vertex).
+No collect, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+
+
+def _ranked_top(
+    df: DataFrame, part_cols: list[str], rank_expr, k: int
+) -> DataFrame:
+    w = Window.partitionBy(*part_cols).orderBy(rank_expr.asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sample_neighborhood(
+    hg: Hypergraph,
+    seeds: DataFrame,
+    fanouts: list[tuple[int, int]],
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-hop sampled neighborhood for every seed vertex.
+
+    ``seeds``: (seed_id: long) one row per sampling root (a vertex id).
+    ``fanouts``: per hop, (fanout_edges, fanout_members) — at most
+    fanout_edges incident hyperedges per frontier vertex, at most
+    fanout_members members per chosen hyperedge.
+
+    Returns (seed_id, hop, edge_id, vertex_id): the sampled incidence
+    rows per seed per hop (hop is 1-based; a vertex reached in an
+    earlier hop can re-appear in later hops — standard GraphSAGE
+    semantics, dedup with .distinct() if a set is wanted).
+    """
+    if not fanouts:
+        raise ValueError("fanouts must name at least one hop")
+    frontier = seeds.select(
+        F.col("seed_id").cast("long").alias("seed_id"),
+        F.col("seed_id").cast("long").alias("vertex_id"),
+    ).distinct()
+    out = None
+    for hop, (f_e, f_v) in enumerate(fanouts, start=1):
+        if f_e < 1 or f_v < 1:
+            raise ValueError(f"hop {hop}: fanouts must be >= 1")
+        pre = f"{seed}:{hop}"
+        # half-hop 1: sample <= f_e incident edges per frontier vertex
+        cand_e = hg.incidence_by_vertex.join(frontier, "vertex_id").select(
+            "seed_id", "vertex_id", "edge_id"
+        )
+        rank_e = h60(
+            F.concat_ws(":", F.lit(pre + ":e"), "seed_id", "vertex_id", "edge_id")
+        )
+        picked_e = _ranked_top(cand_e, ["seed_id", "vertex_id"], rank_e, f_e).select(
+            "seed_id", "edge_id"
+        ).distinct()
+        # half-hop 2: sample <= f_v members per chosen (seed, edge)
+        cand_v = hg.incidence_by_edge.join(picked_e, "edge_id").select(
+            "seed_id", "edge_id", "vertex_id"
+        )
+        rank_v = h60(
+            F.concat_ws(":", F.lit(pre + ":v"), "seed_id", "edge_id", "vertex_id")
+        )
+        picked_v = _ranked_top(cand_v, ["seed_id", "edge_id"], rank_v, f_v)
+        hop_rows = picked_v.select(
+            "seed_id", F.lit(hop).cast("int").alias("hop"), "edge_id", "vertex_id"
+        )
+        out = hop_rows if out is None else out.unionByName(hop_rows)
+        frontier = picked_v.select("seed_id", "vertex_id").distinct()
+    return out

@@ -300,3 +300,49 @@ def test_ktruss_clique_plus_chain(spark):
     # k above the clique's truss empties it
     assert k_truss(hg, k=6).truss_size == 0
     hg.unpersist()
+
+
+def test_neighborhood_sampling_deterministic_and_bounded(spark):
+    """GraphSAGE-style hash-ranked fanout sampling: per-hop fanout caps
+    hold exactly, output is a subset of the real incidence, the sample
+    is deterministic across runs, and different seeds differ."""
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        sample_neighborhood,
+    )
+
+    rows = sorted({(e, (3 * e + v) % 40) for e in range(60) for v in range(6)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    seeds = spark.createDataFrame([(0,), (7,), (39,)], "seed_id long")
+
+    out = sample_neighborhood(hg, seeds, fanouts=[(2, 3), (1, 2)], seed=5)
+    got = out.collect()
+    assert all(r["hop"] in (1, 2) for r in got)
+    # sampled rows are REAL incidence rows
+    assert (
+        out.select("edge_id", "vertex_id").distinct()
+        .join(inc, ["edge_id", "vertex_id"], "left_anti").count() == 0
+    )
+    # fanout caps: <= 2 edges per (seed, frontier vertex) at hop 1 -> at
+    # most 2 distinct edges per seed; <= 3 members per (seed, edge)
+    h1 = out.filter("hop = 1")
+    per_edge = h1.groupBy("seed_id", "edge_id").agg(F.count("*").alias("n"))
+    assert per_edge.filter("n > 3").count() == 0
+    per_seed_edges = h1.select("seed_id", "edge_id").distinct().groupBy(
+        "seed_id"
+    ).agg(F.count("*").alias("n"))
+    assert per_seed_edges.filter("n > 2").count() == 0
+    # determinism + seed sensitivity
+    again = sorted(map(tuple, sample_neighborhood(
+        hg, seeds, fanouts=[(2, 3), (1, 2)], seed=5).collect()))
+    assert sorted(map(tuple, got)) == again
+    other = sorted(map(tuple, sample_neighborhood(
+        hg, seeds, fanouts=[(2, 3), (1, 2)], seed=6).collect()))
+    assert other != again
+    import pytest as _p
+    with _p.raises(ValueError):
+        sample_neighborhood(hg, seeds, fanouts=[])
+    hg.unpersist()
