@@ -92,3 +92,71 @@ def sample_neighborhood(
         out = hop_rows if out is None else out.unionByName(hop_rows)
         frontier = picked_v.select("seed_id", "vertex_id").distinct()
     return out
+
+
+def induced_subgraph(
+    hg: Hypergraph, vertices: DataFrame, min_edge_size: int = 2
+) -> DataFrame:
+    """Incidence of the subgraph induced by ``vertices`` (vertex_id
+    rows): keep incidence rows whose vertex is in the set, then drop
+    hyperedges with fewer than ``min_edge_size`` surviving members
+    (a 1-member hyperedge carries no propagation signal).  Two
+    semi-join/filter passes, no collect — the step between
+    :func:`sample_neighborhood` and training-batch export."""
+    vs = vertices.select(F.col("vertex_id").cast("long")).distinct()
+    kept = hg.incidence_by_vertex.join(vs, "vertex_id", "left_semi")
+    ok_edges = (
+        kept.groupBy("edge_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_edge_size)
+        .select("edge_id")
+    )
+    return kept.join(ok_edges, "edge_id", "left_semi").select("edge_id", "vertex_id")
+
+
+def random_walks(
+    hg: Hypergraph,
+    seeds: DataFrame,
+    walk_length: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hypergraph random walks (DeepWalk/node2vec-style
+    corpus generation, Perozzi et al. 2014): from each seed vertex take
+    ``walk_length`` steps of the two-step walk (uniform incident edge,
+    then uniform member), with BOTH choices hash-ranked on
+    (seed, walk position) — the walk corpus is a pure function of
+    (graph, seeds, length, seed), reproducible across engines/retries.
+
+    Returns (seed_id, step, vertex_id): step 0 is the seed itself.  A
+    walk that reaches an isolated vertex stops (no self-padding).
+    Each step is two joins against the frozen layouts + two
+    first-choice windows partitioned by walk id — no collect, no
+    Python, O(walk_length) supersteps like the LP loop.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    cur = seeds.select(
+        F.col("seed_id").cast("long").alias("seed_id"),
+        F.col("seed_id").cast("long").alias("vertex_id"),
+    ).distinct()
+    out = cur.select("seed_id", F.lit(0).cast("int").alias("step"), "vertex_id")
+    for step in range(1, walk_length + 1):
+        pre = f"{seed}:w{step}"
+        # choose ONE incident edge per walk (min hash = uniform choice)
+        e_rank = h60(F.concat_ws(":", F.lit(pre + ":e"), "seed_id", "edge_id"))
+        picked_e = _ranked_top(
+            hg.incidence_by_vertex.join(cur, "vertex_id").select("seed_id", "edge_id"),
+            ["seed_id"], e_rank, 1,
+        )
+        # choose ONE member of that edge
+        v_rank = h60(F.concat_ws(":", F.lit(pre + ":v"), "seed_id", "vertex_id"))
+        cur = _ranked_top(
+            hg.incidence_by_edge.join(picked_e, "edge_id").select(
+                "seed_id", "vertex_id"
+            ),
+            ["seed_id"], v_rank, 1,
+        ).localCheckpoint(eager=True)  # O(1) plan depth, like the LP loop
+        out = out.unionByName(
+            cur.select("seed_id", F.lit(step).cast("int").alias("step"), "vertex_id")
+        )
+    return out

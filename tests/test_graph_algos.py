@@ -346,3 +346,46 @@ def test_neighborhood_sampling_deterministic_and_bounded(spark):
     with _p.raises(ValueError):
         sample_neighborhood(hg, seeds, fanouts=[])
     hg.unpersist()
+
+
+def test_induced_subgraph_and_random_walks(spark):
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        induced_subgraph,
+        random_walks,
+    )
+
+    rows = sorted({(e, (3 * e + v) % 40) for e in range(60) for v in range(6)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+
+    vs = spark.createDataFrame([(v,) for v in range(0, 40, 2)], "vertex_id long")
+    sub = induced_subgraph(hg, vs)
+    # only selected vertices appear; every surviving edge has >= 2 members
+    assert sub.filter(F.col("vertex_id") % 2 == 1).count() == 0
+    sizes = sub.groupBy("edge_id").agg(F.count("*").alias("n"))
+    assert sizes.filter("n < 2").count() == 0
+    # subset of real incidence
+    assert sub.join(inc, ["edge_id", "vertex_id"], "left_anti").count() == 0
+
+    seeds = spark.createDataFrame([(0,), (17,)], "seed_id long")
+    w = random_walks(hg, seeds, walk_length=4, seed=9)
+    got = w.collect()
+    # one row per (seed, step), steps 0..4, starting at the seed
+    per = {(r["seed_id"], r["step"]): r["vertex_id"] for r in got}
+    assert len(per) == len(got) == 10
+    assert per[(0, 0)] == 0 and per[(17, 0)] == 17
+    # consecutive vertices share a hyperedge (a legal walk)
+    by_edge = {}
+    for e, v in rows:
+        by_edge.setdefault(v, set()).add(e)
+    for s in (0, 17):
+        for k in range(4):
+            a, b = per[(s, k)], per[(s, k + 1)]
+            assert by_edge[a] & by_edge[b], (s, k, a, b)
+    # deterministic
+    again = sorted(map(tuple, random_walks(hg, seeds, walk_length=4, seed=9).collect()))
+    assert sorted(map(tuple, got)) == again
+    hg.unpersist()
