@@ -84,7 +84,14 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     pointer_jumping: bool = True,
+    initial: DataFrame | None = None,
 ) -> CCResult:
+    """``initial``: optional (vertex_id, component) warm start — must
+    satisfy the invariant component[v] <= v with each component value a
+    vertex id of the same component (previous-run minima qualify; the
+    incremental-CC streamer uses this).  Because min-propagation's fixed
+    point is unique and labels only decrease, any valid warm start
+    converges to the same answer as the cold run, just faster."""
     from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
         find_latest_snapshot,
         write_snapshot,
@@ -97,6 +104,10 @@ def connected_components(
         if found is not None:
             comp, start = found
             comp = comp.select("vertex_id", "component")
+    if comp is None and initial is not None:
+        comp = initial.select(
+            F.col("vertex_id").cast("long"), F.col("component").cast("long")
+        )
     if comp is None:
         comp = hg.vertices().select("vertex_id", F.col("vertex_id").alias("component"))
     comp = comp.localCheckpoint(eager=True)

@@ -135,3 +135,71 @@ def run_incremental_lp(
         num_batches=len(counts),
         supersteps_per_batch=counts,
     )
+
+
+def run_incremental_cc(
+    spark: SparkSession,
+    stream_path: str,
+    state_dir: str,
+    max_iterations: int = 200,
+) -> IncrementalLPResult:
+    """Incremental connected components over the same growing-incidence
+    stream protocol as :func:`run_incremental_lp` — but with a STRONGER
+    guarantee: min-label propagation has a UNIQUE fixed point (each
+    vertex's component minimum), labels only decrease, and the previous
+    minima are valid upper bounds on the grown graph's minima, so the
+    warm-started result EQUALS the cold full-graph run exactly (the
+    pytest asserts equality, not just a fixed-point certificate)."""
+    from hypergraph_gpu_label_propagation_spark.operators.components import (
+        connected_components,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    inc_dir = os.path.join(state_dir, "incidence")
+    comp_dir = os.path.join(state_dir, "components")
+    counts: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            F.col("edge_id").cast("long"), F.col("vertex_id").cast("long")
+        ).distinct()
+        if os.path.exists(os.path.join(inc_dir, "_SUCCESS")):
+            acc = spark.read.parquet(inc_dir).unionByName(batch).distinct()
+        else:
+            acc = batch
+        acc.localCheckpoint(eager=True).write.mode("overwrite").parquet(inc_dir)
+
+        hg = Hypergraph.freeze(spark, spark.read.parquet(inc_dir))
+        prev = None
+        if os.path.exists(os.path.join(comp_dir, "_SUCCESS")):
+            old = spark.read.parquet(comp_dir)
+            # warm start: previous minima; new vertices start at self
+            prev = (
+                hg.vertices()
+                .join(old, "vertex_id", "left")
+                .select(
+                    "vertex_id",
+                    F.coalesce("component", F.col("vertex_id")).alias("component"),
+                )
+            )
+        res = connected_components(
+            hg, max_iterations=max_iterations, initial=prev
+        )
+        res.components.write.mode("overwrite").parquet(comp_dir)
+        counts.append(res.iterations)
+        hg.unpersist()
+
+    q = (
+        spark.readStream.schema(INCIDENCE_STREAM_SCHEMA)
+        .parquet(stream_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return IncrementalLPResult(
+        labels=spark.read.parquet(comp_dir),
+        num_batches=len(counts),
+        supersteps_per_batch=counts,
+    )

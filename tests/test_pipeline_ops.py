@@ -466,3 +466,65 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_pipeline_op_properties(spark):
+    """Property-style invariants of the round-4 pipeline operators over
+    a generated corpus (one Spark pass per property; hypothesis-free so
+    runtime stays bounded — the properties themselves are the point):
+
+    - repetition: 0 <= dup_ratio < 1, distinct <= total, short docs 0;
+    - stratified_sample: monotone in rate (rate r1 <= r2 -> selected(r1)
+      is a subset of selected(r2) per stratum, same seed);
+    - decontaminate: growing the benchmark never decreases any doc's
+      hit count.
+    """
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        stratified_sample,
+    )
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        repetition_features,
+    )
+    from hypergraph_gpu_label_propagation_spark.operators.decontam import decontaminate
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    ((F.col("id") * (i + 3) + i * i) % 6 + 1).cast("int"),
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("es")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    ).localCheckpoint()
+
+    rep = repetition_features(docs, "doc_id", "text")
+    bad = rep.filter(
+        (F.col("dup_ngram_ratio") < 0)
+        | (F.col("dup_ngram_ratio") >= 1)
+        | (F.col("n_distinct_ngrams") > F.col("n_ngrams"))
+    )
+    assert bad.count() == 0
+
+    lo = stratified_sample(docs, "doc_id", "lang", {"en": 0.3, "de": 0.6}, seed=2)
+    hi = stratified_sample(docs, "doc_id", "lang", {"en": 0.7, "de": 0.9}, seed=2)
+    assert lo.join(hi, "doc_id", "left_anti").count() == 0  # lo ⊆ hi
+
+    small_bench = docs.filter(F.col("doc_id") % 50 == 0)
+    big_bench = docs.filter(F.col("doc_id") % 10 == 0)  # superset
+    h_small = decontaminate(docs, small_bench, "doc_id", "text")
+    h_big = decontaminate(docs, big_bench, "doc_id", "text")
+    joined = h_small.alias("a").join(
+        h_big.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    )
+    assert joined.filter(
+        F.col("a.n_hit_shingles") > F.col("b.n_hit_shingles")
+    ).count() == 0

@@ -263,3 +263,51 @@ def test_incremental_lp_warm_start(spark, tmp_path):
     assert labels.count() == hg.num_vertices
     assert fixed_point_violations(hg, labels) == 0
     hg.unpersist()
+
+
+def test_incremental_cc_equals_cold_run(spark, tmp_path):
+    """Incremental CC warm-starts from the previous minima; because the
+    min-propagation fixed point is unique, the result must EQUAL the
+    cold full-graph run exactly — and the warm batch must converge in
+    fewer supersteps."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.components import (
+        connected_components,
+    )
+    from hypergraph_gpu_label_propagation_spark.streaming.lp_stream import (
+        run_incremental_cc,
+    )
+
+    stream_dir = tmp_path / "cc_stream"
+    stream_dir.mkdir()
+    # batch 1: two chains of 3-member edges (two components + isolates)
+    b1 = [(e, 2 * e + d) for e in range(10) for d in (0, 1, 2)]
+    b1 += [(100 + e, 40 + 2 * e + d) for e in range(8) for d in (0, 1, 2)]
+    # batch 2: one bridging edge merges the two components
+    b2 = [(500, 5), (500, 45)]
+    spark.createDataFrame(sorted(set(b1)), "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b1"))
+    state = str(tmp_path / "cc_state")
+    run_incremental_cc(spark, str(stream_dir) + "/*", state)
+
+    spark.createDataFrame(b2, "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b2"))
+    r2 = run_incremental_cc(spark, str(stream_dir) + "/*", state)
+    warm_iters = r2.supersteps_per_batch[0]
+
+    full = spark.createDataFrame(
+        sorted(set(b1) | set(b2)), "edge_id long, vertex_id long"
+    )
+    hg = Hypergraph.freeze(spark, full)
+    cold_res = connected_components(hg)
+    # warm init is pointwise <= the cold init and min-propagation is
+    # monotone, so the warm run needs no more supersteps than a COLD run
+    # on the same full graph (batch-1's iteration count is a different
+    # graph and not comparable)
+    assert warm_iters <= cold_res.iterations
+    cold = sorted(map(tuple, cold_res.components.collect()))
+    warm = sorted(map(tuple, r2.labels.collect()))
+    assert warm == cold
+    hg.unpersist()
