@@ -142,11 +142,14 @@ def coreness(
     # loop then reuses this hashpartitioning(v, n_part) and only the
     # (vertex-sized) state frame exchanges each round — the adjacency
     # (the big side) is shuffled exactly once, here
-    adj = (
-        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(n_part, "v")
-        .localCheckpoint(eager=True)
-    )
+    sym = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = sym.repartition(n_part, "v").localCheckpoint(eager=True)
+    # second copy partitioned by u for the frontier path's scope
+    # semi-join: without it, every frontier round re-exchanged the FULL
+    # adjacency on u; with it, frontier rounds exchange only the (small)
+    # frontier-adjacent scope.  2x adjacency memory, bounded and
+    # loop-local (checkpoint blocks are GC-reclaimed after return).
+    adj_by_u = adj.repartition(n_part, "u").localCheckpoint(eager=True)
 
     start = 0
     state = None
@@ -199,7 +202,7 @@ def coreness(
                     adj.join(changed.select(F.col("u").alias("v")), "v", "left_semi")
                     .select("u").distinct()
                 )
-                scope = adj.join(affected, "u", "left_semi")
+                scope = adj_by_u.join(affected, "u", "left_semi")
             else:
                 scope = adj
             nb = (
