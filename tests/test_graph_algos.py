@@ -389,3 +389,96 @@ def test_induced_subgraph_and_random_walks(spark):
     again = sorted(map(tuple, random_walks(hg, seeds, walk_length=4, seed=9).collect()))
     assert sorted(map(tuple, got)) == again
     hg.unpersist()
+
+
+def test_neighborhood_sampling_exact_python_parity(spark):
+    """The hash-ranked choices replicate EXACTLY in pure python
+    (h60 = int(md5(s)[:15], 16)), so the whole sample is verifiable
+    choice-by-choice, not just structurally."""
+    import hashlib
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        sample_neighborhood,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = sorted({(e, (5 * e + v) % 30) for e in range(40) for v in range(5)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    seeds = [2, 11, 29]
+    fanouts, seed = [(2, 2), (2, 2)], 13
+
+    # pure-python replica of sample_neighborhood
+    by_vertex, by_edge = {}, {}
+    for e, v in rows:
+        by_vertex.setdefault(v, []).append(e)
+        by_edge.setdefault(e, []).append(v)
+    expected = set()
+    frontier = {s: {s} for s in seeds}
+    for hop, (f_e, f_v) in enumerate(fanouts, start=1):
+        pre = f"{seed}:{hop}"
+        nxt = {s: set() for s in seeds}
+        for s, verts in frontier.items():
+            picked_edges = set()
+            for v in verts:
+                cand = sorted(
+                    by_vertex.get(v, []),
+                    key=lambda e: (h60(f"{pre}:e:{s}:{v}:{e}"), ),
+                )[:f_e]
+                picked_edges.update(cand)
+            for e in picked_edges:
+                members = sorted(
+                    by_edge[e], key=lambda v: (h60(f"{pre}:v:{s}:{e}:{v}"), )
+                )[:f_v]
+                for v in members:
+                    expected.add((s, hop, e, v))
+                    nxt[s].add(v)
+        frontier = nxt
+
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed_id long")
+    got = set(map(tuple, sample_neighborhood(hg, seeds_df, fanouts, seed).collect()))
+    assert got == expected
+    hg.unpersist()
+
+
+def test_random_walks_exact_python_parity(spark):
+    import hashlib
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        random_walks,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = sorted({(e, (5 * e + v) % 30) for e in range(40) for v in range(5)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    by_vertex, by_edge = {}, {}
+    for e, v in rows:
+        by_vertex.setdefault(v, []).append(e)
+        by_edge.setdefault(e, []).append(v)
+
+    seeds, L, sd = [0, 9, 23], 5, 4
+    expected = {(s, 0, s) for s in seeds}
+    cur = {s: s for s in seeds}
+    for step in range(1, L + 1):
+        pre = f"{sd}:w{step}"
+        for s, v in list(cur.items()):
+            edges = by_vertex.get(v, [])
+            if not edges:
+                del cur[s]
+                continue
+            e = min(edges, key=lambda e: h60(f"{pre}:e:{s}:{e}"))
+            nv = min(by_edge[e], key=lambda v2: h60(f"{pre}:v:{s}:{v2}"))
+            expected.add((s, step, nv))
+            cur[s] = nv
+
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed_id long")
+    got = set(map(tuple, random_walks(hg, seeds_df, L, seed=sd).collect()))
+    assert got == expected
+    hg.unpersist()
