@@ -115,10 +115,14 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     f"only 16-bit PCM WAV decodes without external codecs "
                     f"(got format={tag}, bits={bits})"
                 )
+            if ch < 1:
+                raise ValueError(f"WAV fmt chunk declares channels={ch}")
         elif cid == b"data":
             samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
         pos = body + size + (size & 1)
-    if sr is None or samples is None:
+    # ch is checked explicitly: a data chunk with no fmt chunk must be a
+    # ValueError here, not an incidental ZeroDivisionError below
+    if sr is None or ch is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     return sr, ch, len(samples) // ch, samples
 

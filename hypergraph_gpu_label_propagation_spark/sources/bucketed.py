@@ -34,33 +34,53 @@ def iceberg_available(spark: SparkSession) -> bool:
     confs).  This sandbox ships no Iceberg jar, so it returns False here
     and every write goes through the bucketBy-parquet stand-in — on a
     cluster with ``--packages org.apache.iceberg:iceberg-spark-runtime``
-    the same call sites produce Iceberg tables with bucket transforms."""
+    the same call sites produce Iceberg tables with bucket transforms.
+
+    Checks BOTH the static startup SparkConf and the session's runtime
+    conf — a catalog configured after startup via ``spark.conf.set``
+    never appears in ``sparkContext.getConf()``."""
+    confs: dict[str, str] = {}
     try:
-        confs = spark.sparkContext.getConf().getAll()
+        confs.update(dict(spark.sparkContext.getConf().getAll()))
     except Exception:  # noqa: BLE001 — conservative: treat as absent
-        return False
+        pass
+    try:
+        confs.update(spark.conf.getAll)
+    except Exception:  # noqa: BLE001
+        pass
     return any(
         k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
-        for k, v in confs
+        for k, v in confs.items()
     )
 
 
 def _write_iceberg_bucketed(
-    incidence: DataFrame, table: str, buckets: int, key: str
+    incidence: DataFrame, table: str, buckets: int, key: str,
+    mode: str = "overwrite",
 ) -> None:
     """Iceberg path: DataFrameWriterV2 with a ``bucket(N, key)``
     partition transform — the exact layout SURVEY §1.2 names for the
     100 TB deployment.  Only reachable when :func:`iceberg_available`;
-    exercised on clusters, not in this sandbox (no jar)."""
+    exercised on clusters, not in this sandbox (no jar).  ``mode`` maps
+    to the V2 verbs (overwrite -> createOrReplace, append -> append,
+    error/errorifexists -> create); anything else is rejected rather
+    than silently replaced."""
     from pyspark.sql import functions as F
 
-    (
+    writer = (
         incidence.sortWithinPartitions(key)
         .writeTo(table)
         .using("iceberg")
         .partitionedBy(F.bucket(buckets, key))
-        .createOrReplace()
     )
+    if mode == "overwrite":
+        writer.createOrReplace()
+    elif mode == "append":
+        incidence.sortWithinPartitions(key).writeTo(table).append()
+    elif mode in ("error", "errorifexists"):
+        writer.create()
+    else:
+        raise ValueError(f"unsupported mode for Iceberg bucketed write: {mode!r}")
 
 
 def write_bucketed(
@@ -79,8 +99,8 @@ def write_bucketed(
     spark = incidence.sparkSession
     if iceberg_available(spark):
         by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
-        _write_iceberg_bucketed(incidence, by_vertex, buckets, "vertex_id")
-        _write_iceberg_bucketed(incidence, by_edge, buckets, "edge_id")
+        _write_iceberg_bucketed(incidence, by_vertex, buckets, "vertex_id", mode)
+        _write_iceberg_bucketed(incidence, by_edge, buckets, "edge_id", mode)
         return by_vertex, by_edge
     by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")

@@ -37,16 +37,23 @@ HGR_MAGIC = 0x31475248
 HGR_VERSION = 1
 
 
-def save_hgr(frames: HypergraphFrames, path: str) -> None:
-    """Collects to the driver — small-graph interop only.  Member order
+def save_hgr(
+    frames: HypergraphFrames, path: str, max_records: int | None = None
+) -> None:
+    """Collects to the driver — small-graph interop only (``max_records``
+    guards the collect; see collect_edge_member_lists).  Member order
     is preserved (insertion order) when the frames carry positions, so a
     load->save roundtrip byte-compares with the reference writer's output
     (hypergraph.cpp:293-326)."""
     from hypergraph_gpu_label_propagation_spark.sources.json_loader import (
+        MAX_INTEROP_RECORDS,
         collect_edge_member_lists,
     )
 
-    edges = collect_edge_member_lists(frames)
+    edges = collect_edge_member_lists(
+        frames,
+        max_records=MAX_INTEROP_RECORDS if max_records is None else max_records,
+    )
     labels = np.zeros(frames.num_vertices, dtype=np.int32)
     for r in frames.vertex_labels.collect():
         labels[r["vertex_id"]] = r["label"]

@@ -248,7 +248,12 @@ def load_json_rich_distributed(spark: SparkSession, path: str) -> HypergraphFram
     return HypergraphFrames(incidence, labels, num_vertices, n_keys, incidence_pos)
 
 
-def collect_edge_member_lists(frames: HypergraphFrames) -> list:
+MAX_INTEROP_RECORDS = 10_000_000  # ~160 MB of ids on the driver
+
+
+def collect_edge_member_lists(
+    frames: HypergraphFrames, max_records: int = MAX_INTEROP_RECORDS
+) -> list:
     """Edge member lists in edge order, for the interop writers.
 
     When the frames carry member positions (every loader populates
@@ -256,7 +261,20 @@ def collect_edge_member_lists(frames: HypergraphFrames) -> list:
     the reference writer byte-for-byte (hypergraph.cpp:293-326 writes
     input order).  For engine-built frames without positions, members
     are sorted (edges are sets for LP semantics; documented fallback).
+
+    ``max_records`` guards the driver collect: these single-file interop
+    writers are small-graph utilities by design, and an accidental call
+    on a production-scale graph must fail fast instead of OOMing the
+    driver.  Raise the cap explicitly if you really mean it.
     """
+    n = frames.incidence.count() + frames.num_vertices
+    if n > max_records:
+        raise ValueError(
+            f"refusing driver-side collect of {n} rows for single-file "
+            f"interop (max_records={max_records}); these writers are for "
+            "small-graph interop — use parquet/bucketed tables at scale, "
+            "or pass a larger max_records explicitly"
+        )
     if frames.incidence_pos is not None:
         rows = (
             frames.incidence_pos.groupBy("edge_id")
@@ -279,11 +297,15 @@ def collect_edge_member_lists(frames: HypergraphFrames) -> list:
     return rows
 
 
-def save_hypergraph_json(frames: HypergraphFrames, path: str) -> None:
+def save_hypergraph_json(
+    frames: HypergraphFrames, path: str,
+    max_records: int = MAX_INTEROP_RECORDS,
+) -> None:
     """Write the simple schema (collects to driver — interop util for
     small graphs, mirroring save_to_file's role, hypergraph.cpp:293-326);
-    member order preserved when the frames carry positions."""
-    edges_rows = collect_edge_member_lists(frames)
+    member order preserved when the frames carry positions.
+    ``max_records`` guards the collect (collect_edge_member_lists)."""
+    edges_rows = collect_edge_member_lists(frames, max_records=max_records)
     labels = [
         r["label"]
         for r in frames.vertex_labels.orderBy("vertex_id").collect()

@@ -164,6 +164,47 @@ def run_degrees_merge(spark: SparkSession, stream_path: str, state_dir: str) -> 
     return spark.read.parquet(cur_path)
 
 
+def atomic_swap_write(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` into directory ``path`` via write-to-temp +
+    two-rename swap (the :func:`run_degrees_merge` protocol, factored
+    out for any parquet state dir — incremental LP/CC state uses it).
+
+    Readers never observe a half-written ``path``: a crash before the
+    first rename leaves the previous snapshot intact; a crash between
+    the renames is healed by :func:`recover_swap` (the ``.old`` dir IS
+    the complete previous snapshot).  Because the write lands in
+    ``path + ".tmp"``, ``df`` may safely READ from ``path`` itself —
+    no self-overwrite hazard, no defensive localCheckpoint needed."""
+    import os
+    import shutil
+
+    recover_swap(path)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(path: str) -> None:
+    """Heal a half-finished :func:`atomic_swap_write` (same windows as
+    :func:`_recover_state`): restore ``.old`` if the swap died between
+    renames, drop it if the swap completed, drop any stale ``.tmp``."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(path + ".tmp", ignore_errors=True)
+
+
 def _recover_state(state_dir: str) -> None:
     """Heal a half-finished state swap (see :func:`run_degrees_merge`).
 

@@ -41,8 +41,30 @@ from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
     label_propagation,
     lp_superstep,
 )
+from hypergraph_gpu_label_propagation_spark.streaming.events import (
+    atomic_swap_write,
+    recover_swap,
+)
 
 INCIDENCE_STREAM_SCHEMA = "edge_id long, vertex_id long"
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a state dir maintained by :func:`atomic_swap_write`; None if
+    it doesn't exist yet.  A dir present WITHOUT ``_SUCCESS`` after
+    recovery is corrupt foreign state — raise instead of silently
+    treating the accumulated graph as empty (a truncated graph would
+    still pass the fixed-point certificate, on the wrong graph)."""
+    recover_swap(path)
+    if not os.path.exists(path):
+        return None
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise ValueError(
+            f"state dir {path} exists but has no _SUCCESS marker — "
+            "not a snapshot this module wrote; refusing to rebuild "
+            "state from only the new batch (delete the dir to reset)"
+        )
+    return spark.read.parquet(path)
 
 
 @dataclass
@@ -87,18 +109,17 @@ def run_incremental_lp(
         batch = batch_df.select(
             F.col("edge_id").cast("long"), F.col("vertex_id").cast("long")
         ).distinct()
-        if os.path.exists(os.path.join(inc_dir, "_SUCCESS")):
-            acc = spark.read.parquet(inc_dir).unionByName(batch).distinct()
-        else:
-            acc = batch
-        # rewrite-then-swap would be better on object stores; local FS
-        # parquet overwrite is atomic enough for the state dir because
-        # the _SUCCESS marker gates readers (same rule as checkpointing)
-        acc.localCheckpoint(eager=True).write.mode("overwrite").parquet(inc_dir)
+        prev_inc = _read_state(spark, inc_dir)
+        acc = batch if prev_inc is None else prev_inc.unionByName(batch).distinct()
+        # write-to-temp + two-rename swap: a crash mid-write leaves the
+        # previous complete snapshot recoverable (the naive overwrite
+        # had a window where _SUCCESS was gone and the next batch would
+        # silently rebuild state from only the new rows)
+        atomic_swap_write(acc, inc_dir)
 
         hg = Hypergraph.freeze(spark, spark.read.parquet(inc_dir))
-        if os.path.exists(os.path.join(lab_dir, "_SUCCESS")):
-            prev = spark.read.parquet(lab_dir)
+        prev = _read_state(spark, lab_dir)
+        if prev is not None:
             # warm start: keep converged labels, default-init new vertices
             init = (
                 hg.vertices()
@@ -117,7 +138,7 @@ def run_incremental_lp(
         res = label_propagation(
             hg, init, max_labels=max_labels, max_iterations=max_iterations
         )
-        res.labels.write.mode("overwrite").parquet(lab_dir)
+        atomic_swap_write(res.labels, lab_dir)
         counts.append(res.iterations)
         hg.unpersist()
 
@@ -163,16 +184,14 @@ def run_incremental_cc(
         batch = batch_df.select(
             F.col("edge_id").cast("long"), F.col("vertex_id").cast("long")
         ).distinct()
-        if os.path.exists(os.path.join(inc_dir, "_SUCCESS")):
-            acc = spark.read.parquet(inc_dir).unionByName(batch).distinct()
-        else:
-            acc = batch
-        acc.localCheckpoint(eager=True).write.mode("overwrite").parquet(inc_dir)
+        prev_inc = _read_state(spark, inc_dir)
+        acc = batch if prev_inc is None else prev_inc.unionByName(batch).distinct()
+        atomic_swap_write(acc, inc_dir)
 
         hg = Hypergraph.freeze(spark, spark.read.parquet(inc_dir))
         prev = None
-        if os.path.exists(os.path.join(comp_dir, "_SUCCESS")):
-            old = spark.read.parquet(comp_dir)
+        old = _read_state(spark, comp_dir)
+        if old is not None:
             # warm start: previous minima; new vertices start at self
             prev = (
                 hg.vertices()
@@ -185,7 +204,7 @@ def run_incremental_cc(
         res = connected_components(
             hg, max_iterations=max_iterations, initial=prev
         )
-        res.components.write.mode("overwrite").parquet(comp_dir)
+        atomic_swap_write(res.components, comp_dir)
         counts.append(res.iterations)
         hg.unpersist()
 

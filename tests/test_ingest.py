@@ -348,3 +348,28 @@ def test_dense_rank_by_plan_has_no_single_partition(spark):
     assert n == 1_000_000
     top = ranked.orderBy("key").limit(3).collect()
     assert [r["rid"] for r in top] == [0, 1, 2]
+
+
+def test_interop_writer_max_records_guard(spark, tmp_path):
+    """The single-file interop writers are small-graph utilities: the
+    driver-side collect refuses above ``max_records`` (r03/r04 advice —
+    an accidental call on a 100 GB graph must fail fast, not OOM)."""
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.sources.hgr import save_hgr
+    from hypergraph_gpu_label_propagation_spark.sources.json_loader import (
+        load_hypergraph_json,
+        save_hypergraph_json,
+    )
+
+    frames = load_hypergraph_json(
+        spark, '{"num_vertices": 4, "edges": [[0,1],[1,2,3]]}'
+    )
+    with pytest.raises(ValueError, match="max_records"):
+        save_hgr(frames, str(tmp_path / "g.hgr"), max_records=3)
+    with pytest.raises(ValueError, match="max_records"):
+        save_hypergraph_json(frames, str(tmp_path / "g.json"), max_records=3)
+    # above the threshold the writers work unchanged
+    save_hgr(frames, str(tmp_path / "g.hgr"))
+    save_hypergraph_json(frames, str(tmp_path / "g.json"))
+    assert (tmp_path / "g.hgr").exists() and (tmp_path / "g.json").exists()

@@ -528,3 +528,34 @@ def test_pipeline_op_properties(spark):
     assert joined.filter(
         F.col("a.n_hit_shingles") > F.col("b.n_hit_shingles")
     ).count() == 0
+
+
+def test_wav_decode_validates_fmt_chunk():
+    """ADVICE r04: malformed WAV headers raise the INTENDED errors —
+    channels=0 is a ValueError (not an incidental ZeroDivisionError),
+    and a data chunk with no fmt chunk is a ValueError naming the
+    missing chunk."""
+    import struct
+
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        _decode_wav,
+        make_wav,
+    )
+
+    good = make_wav(100, 8000, seed=1)
+    # corrupt channels to 0 (fmt body: tag u16 @+0, channels u16 @+2;
+    # fmt chunk body starts at byte 20 of the file)
+    bad_ch = bytearray(good)
+    struct.pack_into("<H", bad_ch, 22, 0)
+    with pytest.raises(ValueError, match="channels"):
+        _decode_wav(bytes(bad_ch))
+    # data chunk but no fmt chunk
+    samples = good[44:]
+    no_fmt = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(samples), b"WAVE")
+        + struct.pack("<4sI", b"data", len(samples)) + samples
+    )
+    with pytest.raises(ValueError, match="fmt"):
+        _decode_wav(no_fmt)

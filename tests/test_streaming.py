@@ -311,3 +311,56 @@ def test_incremental_cc_equals_cold_run(spark, tmp_path):
     warm = sorted(map(tuple, r2.labels.collect()))
     assert warm == cold
     hg.unpersist()
+
+
+def test_incremental_state_atomic_swap_and_corruption_guard(spark, tmp_path):
+    """ADVICE r04 (medium): state dirs are maintained with the
+    write-to-temp + two-rename swap, so (a) a crash between the renames
+    is healed from the ``.old`` snapshot, and (b) a state dir that
+    exists WITHOUT a _SUCCESS marker is refused instead of silently
+    treated as empty (which would rebuild the graph from only the new
+    rows and still pass the fixed-point certificate on a truncated
+    graph)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.streaming.events import (
+        atomic_swap_write,
+        recover_swap,
+    )
+    from hypergraph_gpu_label_propagation_spark.streaming.lp_stream import (
+        _read_state,
+        run_incremental_cc,
+    )
+
+    # (a) swap + crash-window recovery
+    target = str(tmp_path / "state")
+    df1 = spark.range(5).select(F.col("id").alias("x"))
+    atomic_swap_write(df1, target)
+    assert spark.read.parquet(target).count() == 5
+    df2 = spark.range(9).select(F.col("id").alias("x"))
+    atomic_swap_write(df2, target)
+    assert spark.read.parquet(target).count() == 9
+    # simulate a crash between rename(current -> .old) and
+    # rename(tmp -> current): only .old remains
+    os.rename(target, target + ".old")
+    recover_swap(target)
+    assert spark.read.parquet(target).count() == 9
+
+    # (b) foreign/corrupt state dir (no _SUCCESS) -> hard error
+    bad = str(tmp_path / "bad_state")
+    os.makedirs(os.path.join(bad, "incidence"))
+    with open(os.path.join(bad, "incidence", "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        _read_state(spark, os.path.join(bad, "incidence"))
+    stream_dir = tmp_path / "guard_stream"
+    stream_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 1), (1, 2)], "edge_id long, vertex_id long"
+    ).coalesce(1).write.parquet(str(stream_dir / "b1"))
+    with pytest.raises(Exception, match="_SUCCESS"):
+        run_incremental_cc(spark, str(stream_dir) + "/*", bad)
+    shutil.rmtree(bad)
