@@ -986,14 +986,126 @@ def q_source_files_hypergraph(spark, sf_dir):
     )
 
 
+def q_degree_surface(spark, sf_dir):
+    """Accessor surface (B4) as ONE tagged-union row: per-vertex degrees
+    (universe left-join — isolated vertices report 0) UNION per-edge
+    sizes.  Folds the former vertex_degrees + edge_sizes rows to free
+    board slots under the driver's 50-row gate (r04 verdict #1); each
+    component is byte-identical to its standalone round-4 pair."""
+    deg = q_vertex_degrees(spark, sf_dir).select(
+        F.lit("vertex_degree").alias("kind"),
+        F.col("vertex_id").alias("id"),
+        F.col("degree").alias("n"),
+    )
+    sz = q_edge_sizes(spark, sf_dir).select(
+        F.lit("edge_size").alias("kind"),
+        F.col("edge_id").alias("id"),
+        F.col("edge_size").alias("n"),
+    )
+    return deg.unionByName(sz)
+
+
+GS_SEEDS = (1, 7, 13, 42, 99)
+GS_SEED = 17
+GS_FANOUTS = [(2, 2), (2, 2)]
+GS_WALK_LEN = 3
+
+
+def q_graph_sampling(spark, sf_dir):
+    """GNN data-prep surface under the driver gate (r04 verdict #1) as
+    ONE tagged-union row: GraphSAGE fanout sampling, induced subgraph,
+    and DeepWalk-style random walks (operators/sampling_graph.py) over
+    the sf hypergraph.  Every choice is md5 hash-ranked with an id
+    tie-break, so the DuckDB twin regenerates the IDENTICAL sample —
+    the same oracle discipline as the generators row.  Columns are a
+    tagged (op, a, b, c, d) union:
+      neighborhood: (seed_id, hop, edge_id, vertex_id)
+      induced:      (edge_id, vertex_id, -1, -1)
+      walk:         (seed_id, step, vertex_id, -1)
+    """
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        induced_subgraph,
+        random_walks,
+        sample_neighborhood,
+    )
+
+    hg = _freeze(spark, sf_dir)
+    seeds = spark.createDataFrame([(s,) for s in GS_SEEDS], "seed_id long")
+    neg1 = F.lit(-1).cast("long")
+    nb = sample_neighborhood(hg, seeds, fanouts=GS_FANOUTS, seed=GS_SEED).select(
+        F.lit("neighborhood").alias("op"),
+        F.col("seed_id").alias("a"),
+        F.col("hop").cast("long").alias("b"),
+        F.col("edge_id").alias("c"),
+        F.col("vertex_id").alias("d"),
+    )
+    sub = induced_subgraph(
+        hg, hg.vertices().filter(F.col("vertex_id") % 5 == 0)
+    ).select(
+        F.lit("induced").alias("op"),
+        F.col("edge_id").alias("a"),
+        F.col("vertex_id").alias("b"),
+        neg1.alias("c"),
+        neg1.alias("d"),
+    )
+    wk = random_walks(hg, seeds, walk_length=GS_WALK_LEN, seed=GS_SEED).select(
+        F.lit("walk").alias("op"),
+        F.col("seed_id").alias("a"),
+        F.col("step").cast("long").alias("b"),
+        F.col("vertex_id").alias("c"),
+        neg1.alias("d"),
+    )
+    out = nb.unionByName(sub).unionByName(wk).localCheckpoint(eager=True)
+    hg.unpersist()
+    return out
+
+
+def q_incremental_cc(spark, sf_dir):
+    """Incremental connected components under the driver gate: the sf
+    incidence arrives in TWO stream deliveries (edge_id%3==0 first, the
+    rest after), each re-converging warm-started from the previous
+    minima via streaming/lp_stream.run_incremental_cc.  Because the
+    min-propagation fixed point is UNIQUE, the warm-started final state
+    must EQUAL a cold CC of the full graph — which is exactly what the
+    DuckDB oracle computes (same recursive-CTE twin as the
+    connected_components row).  Isolated universe vertices report
+    themselves, matching the batch query's shape."""
+    import os
+    import tempfile
+
+    from hypergraph_gpu_label_propagation_spark.streaming.lp_stream import (
+        run_incremental_cc,
+    )
+
+    inc = _incidence(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="icc_gate_")
+    stream_dir = os.path.join(tmp, "stream")
+    os.makedirs(stream_dir)
+    state = os.path.join(tmp, "state")
+    inc.filter(F.pmod("edge_id", F.lit(3)) == 0).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "b0")
+    )
+    run_incremental_cc(spark, stream_dir + "/*", state)
+    inc.filter(F.pmod("edge_id", F.lit(3)) != 0).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    res = run_incremental_cc(spark, stream_dir + "/*", state)
+    uni = _universe(spark, _nv(spark, sf_dir))
+    return uni.join(res.labels, "vertex_id", "left").select(
+        "vertex_id",
+        F.coalesce("component", F.col("vertex_id")).cast("long").alias("component"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incidence_build": q_incidence,
         "source_files_hypergraph": q_source_files_hypergraph,
         "generators": q_generators,
-        "vertex_degrees": q_vertex_degrees,
-        "edge_sizes": q_edge_sizes,
+        "degree_surface": q_degree_surface,
         "graph_profile": q_graph_profile,
+        "graph_sampling": q_graph_sampling,
+        "incremental_cc": q_incremental_cc,
         "lp_edge_majority": q_lp_edge_majority,
         "lp_superstep": q_lp_superstep,
         "lp_superstep_weighted": q_lp_superstep_weighted,
@@ -1022,7 +1134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_split": q_doc_split,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
+        # minhash_signatures rides inside minhash_lsh's oracle (the lsh
+        # twin re-derives the full signature CTE), freeing a board slot
+        # under the 50-row gate; the operator keeps its own pytest.
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -1595,21 +1709,120 @@ def _sql_simhash() -> str:
     )
 
 
+def _dh60(expr: str) -> str:
+    """DuckDB twin of operators.dedup.h60 (60-bit md5 prefix)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_graph_sampling() -> str:
+    """DuckDB twin of q_graph_sampling: unrolls the fanout hops and walk
+    steps as CTE chains; every hash-ranked choice is replicated with the
+    same md5 string and the same (hash, id) tie-break, so the sample is
+    regenerated exactly (the generators-row discipline applied to the
+    GNN data-prep trio)."""
+    seeds_values = ", ".join(f"({s})" for s in GS_SEEDS)
+    ctes = [
+        _SQL_INC,
+        f"seeds(s) AS (VALUES {seeds_values})",
+        "f0 AS (SELECT CAST(s AS BIGINT) AS seed_id, CAST(s AS BIGINT) AS vertex_id FROM seeds)",
+    ]
+    hop_selects = []
+    prev = "f0"
+    for hop, (f_e, f_v) in enumerate(GS_FANOUTS, start=1):
+        pre = f"{GS_SEED}:{hop}"
+        he = _dh60(
+            f"'{pre}:e:' || f.seed_id || ':' || f.vertex_id || ':' || i.edge_id"
+        )
+        hv = _dh60(f"'{pre}:v:' || p.seed_id || ':' || p.edge_id || ':' || i.vertex_id")
+        ctes.append(
+            f"ce{hop} AS (SELECT f.seed_id, f.vertex_id, i.edge_id, {he} AS h "
+            f"FROM {prev} f JOIN inc i USING (vertex_id))"
+        )
+        ctes.append(
+            f"pe{hop} AS (SELECT DISTINCT seed_id, edge_id FROM ("
+            f"SELECT seed_id, edge_id, ROW_NUMBER() OVER (PARTITION BY seed_id, vertex_id "
+            f"ORDER BY h, edge_id) AS rn FROM ce{hop}) WHERE rn <= {f_e})"
+        )
+        ctes.append(
+            f"cv{hop} AS (SELECT p.seed_id, p.edge_id, i.vertex_id, {hv} AS h "
+            f"FROM pe{hop} p JOIN inc i USING (edge_id))"
+        )
+        ctes.append(
+            f"pv{hop} AS (SELECT seed_id, edge_id, vertex_id FROM ("
+            f"SELECT seed_id, edge_id, vertex_id, ROW_NUMBER() OVER (PARTITION BY seed_id, edge_id "
+            f"ORDER BY h, vertex_id) AS rn FROM cv{hop}) WHERE rn <= {f_v})"
+        )
+        ctes.append(
+            f"f{hop} AS (SELECT DISTINCT seed_id, vertex_id FROM pv{hop})"
+        )
+        prev = f"f{hop}"
+        hop_selects.append(
+            f"SELECT 'neighborhood' AS op, seed_id AS a, CAST({hop} AS BIGINT) AS b, "
+            f"edge_id AS c, vertex_id AS d FROM pv{hop}"
+        )
+    # induced subgraph: vertices % 5 == 0, surviving edges need >= 2 members
+    ctes.append("ki AS (SELECT edge_id, vertex_id FROM inc WHERE vertex_id % 5 = 0)")
+    ctes.append(
+        "oke AS (SELECT edge_id FROM ki GROUP BY edge_id HAVING COUNT(*) >= 2)"
+    )
+    ind_select = (
+        "SELECT 'induced', edge_id, vertex_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) "
+        "FROM ki JOIN oke USING (edge_id)"
+    )
+    # random walks: one edge then one member per step, rn=1 choices
+    walk_selects = [
+        "SELECT 'walk', seed_id, CAST(0 AS BIGINT), seed_id, CAST(-1 AS BIGINT) FROM f0"
+    ]
+    prev = "f0"
+    for step in range(1, GS_WALK_LEN + 1):
+        pre = f"{GS_SEED}:w{step}"
+        he = _dh60(f"'{pre}:e:' || c.seed_id || ':' || i.edge_id")
+        hv = _dh60(f"'{pre}:v:' || p.seed_id || ':' || i.vertex_id")
+        ctes.append(
+            f"we{step} AS (SELECT c.seed_id, i.edge_id, {he} AS h "
+            f"FROM {prev} c JOIN inc i USING (vertex_id))"
+        )
+        ctes.append(
+            f"wpe{step} AS (SELECT seed_id, edge_id FROM ("
+            f"SELECT seed_id, edge_id, ROW_NUMBER() OVER (PARTITION BY seed_id "
+            f"ORDER BY h, edge_id) AS rn FROM we{step}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"wv{step} AS (SELECT p.seed_id, i.vertex_id, {hv} AS h "
+            f"FROM wpe{step} p JOIN inc i USING (edge_id))"
+        )
+        ctes.append(
+            f"wc{step} AS (SELECT seed_id, vertex_id FROM ("
+            f"SELECT seed_id, vertex_id, ROW_NUMBER() OVER (PARTITION BY seed_id "
+            f"ORDER BY h, vertex_id) AS rn FROM wv{step}) WHERE rn = 1)"
+        )
+        prev = f"wc{step}"
+        walk_selects.append(
+            f"SELECT 'walk', seed_id, CAST({step} AS BIGINT), vertex_id, "
+            f"CAST(-1 AS BIGINT) FROM wc{step}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(hop_selects + [ind_select] + walk_selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     markers_values = ", ".join(f"('{l}', '{w}')" for l, w in lang_markers_rows())
     oracles = {
         "incidence_build": f"WITH {_SQL_INC} SELECT * FROM inc",
-        "vertex_degrees": (
+        "degree_surface": (
             f"WITH {_SQL_INC}, {_SQL_UNI}, "
             "deg AS (SELECT vertex_id, COUNT(*) AS d FROM inc GROUP BY vertex_id) "
-            "SELECT u.vertex_id, CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree "
-            "FROM uni u LEFT JOIN deg USING (vertex_id)"
-        ),
-        "edge_sizes": (
-            f"WITH {_SQL_INC} SELECT edge_id, CAST(COUNT(*) AS BIGINT) AS edge_size "
+            "SELECT 'vertex_degree' AS kind, u.vertex_id AS id, "
+            "CAST(COALESCE(deg.d, 0) AS BIGINT) AS n "
+            "FROM uni u LEFT JOIN deg USING (vertex_id) "
+            "UNION ALL "
+            "SELECT 'edge_size', edge_id, CAST(COUNT(*) AS BIGINT) "
             "FROM inc GROUP BY edge_id"
         ),
+        "graph_sampling": _sql_graph_sampling(),
         "lp_edge_majority": (
             f"WITH {_SQL_INC}, {_SQL_UNI}, {_SQL_LAB0}, {_SQL_EDGE_MAJ} "
             "SELECT edge_id, label FROM emaj"
@@ -1909,12 +2122,6 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "FROM com JOIN sz sa ON com.id_a = sa.doc_id JOIN sz sb ON com.id_b = sb.doc_id "
             "WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.1"
         ),
-        "minhash_signatures": (
-            f"WITH {_sql_minhash_sig_cte()} "
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            + ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(8))
-            + " FROM sig"
-        ),
         "minhash_lsh": (
             f"WITH {_sql_minhash_sig_cte()}, "
             "bands AS ("
@@ -2117,4 +2324,8 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
     oracles["events_stream"] = oracles["events_window"]
     # flagship derivation: fully regenerated + re-derived inside DuckDB
     oracles["source_files_hypergraph"] = _sql_source_files_hypergraph()
+    # warm-started incremental CC must equal the cold run bit-for-bit
+    # (min-propagation fixed point is unique), so its oracle IS the cold
+    # connected-components twin on the full incidence
+    oracles["incremental_cc"] = oracles["connected_components"]
     return oracles

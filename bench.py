@@ -96,6 +96,12 @@ def _special_entries(spark, sf_dir):
         return res.labels
 
     def clique_adj_build(spark, sf_dir):
+        # release the previous rep's cached graph/adjacency before
+        # rebuilding (the alternating-reps harness re-enters this entry)
+        if "hg" in shared:
+            shared.pop("hg").unpersist()
+        if "adj" in shared:
+            shared.pop("adj").unpersist()
         hg = HG.freeze(spark, entrymod._incidence(spark, sf_dir))
         adj = clique_expansion(hg).localCheckpoint(eager=True)
         shared["hg"], shared["adj"] = hg, adj
@@ -132,24 +138,48 @@ def main() -> None:
     queries["lp_superstep"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # alternating min-of-N reps (r04 verdict #2): the host has documented
+    # +-50% co-tenant noise, and a single-shot record contradicted the
+    # repo's own controlled A/Bs (lp_bucketed_run read slower than
+    # lp_converged while every alternating rep showed the opposite).
+    # Reps are interleaved ACROSS queries (whole-board passes), so one
+    # co-tenant burst can't poison all reps of one entry; entries under
+    # 1 s keep their first-pass timing (noise floor).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    counter = [0]
+
+    def run_entry(name: str) -> float:
         t0 = time.monotonic()
         df = queries[name](spark, sf_dir)
         # noop sink materializes EVERY column of every row (a bare count
         # would let Catalyst prune columns and flatter the timing); the
         # row count rides the same job via observe()
-        obs = Observation(f"bench_{name}")
+        obs = Observation(f"bench_{name}_{counter[0]}")
+        counter[0] += 1
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
             "overwrite"
         ).save()
         n = obs.get["n"]
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        dt = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
         if name == "lp_bucketed_run" and "bucketed_hg" in shared:
-            shared["bucketed_hg"].unpersist()
+            shared.pop("bucketed_hg").unpersist()
+        return dt
+
+    for rep in range(reps):
+        for name in HEADLINE:
+            if rep > 0 and min(rep_times[name]) < 1.0:
+                continue  # noise-floor entry: single shot is enough
+            rep_times[name].append(run_entry(name))
     if "hg" in shared:
-        shared["hg"].unpersist()
+        shared.pop("hg").unpersist()
+    if "adj" in shared:
+        shared.pop("adj").unpersist()
+    timings = {name: min(ts) for name, ts in rep_times.items()}
+    medians = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in rep_times.items()
+    }
 
     # LP throughput to convergence (BASELINE.json metric): supersteps/sec
     # and edges-processed/sec (each superstep touches every incidence row
@@ -182,6 +212,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "bench_reps": reps,
                 "sf": sf,
                 "lp": lp,
             }

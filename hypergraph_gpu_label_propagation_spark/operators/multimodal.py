@@ -5,11 +5,13 @@ feature extraction run Arrow-batched behind ``DecodeBackend``:
 
 - ``DecodeBackend.REAL`` performs genuine byte-level decoding for the
   formats decodable with numpy + the stdlib alone — uncompressed BMP
-  images (BITMAPINFOHEADER parse + pixel array) and PCM WAV audio
-  (RIFF chunk walk + sample array).  Formats that need an external
-  codec (JPEG/PNG/MP4/...) raise NotImplementedError at the decode
-  call site — swap in Pillow/torchaudio/PyAV there on a real cluster
-  (this container ships none of them).
+  images (BITMAPINFOHEADER parse + pixel array), 8-bit non-interlaced
+  PNG (chunk walk + zlib inflate + scanline unfilter incl. Paeth), and
+  PCM WAV audio (RIFF chunk walk + sample array).  Formats that need an
+  external codec (JPEG/MP4/16-bit-or-interlaced PNG/...) raise
+  NotImplementedError at the decode call site — swap in
+  Pillow/torchaudio/PyAV there on a real cluster (this container ships
+  none of them).
 - ``DecodeBackend.FAKE`` (default for the oracle contract query)
   produces deterministic metadata/features derived from sha256(data),
   so the distributed pipeline (mapInPandas batching, schema evolution,
@@ -96,6 +98,95 @@ def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height_abs, rows
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG with the stdlib
+    alone (r04 verdict #6): chunk walk (IHDR/IDAT/IEND + CRC layout),
+    ``zlib`` inflate, then per-scanline unfilter of all five PNG filter
+    types (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Returns (width,
+    height, HxWx3 uint8) — gray replicates to 3 channels, RGBA drops
+    alpha.  16-bit, palette, and interlaced PNGs still need an external
+    codec and raise NotImplementedError."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG decodes without "
+            f"external codecs (depth={depth}, color_type={color}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride, bpp = w * channels, channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(
+            np.int32
+        )
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up: fully vectorized (no left dependency)
+            rec = (line + prior) % 256
+        else:  # Sub/Average/Paeth reference the reconstructed left pixel
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Route by magic bytes: BMP and PNG decode natively; anything else
+    needs an external codec."""
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:8] == PNG_MAGIC:
+        return _decode_png(data)
+    raise ValueError("not a BMP/PNG payload")
+
+
 def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Walk RIFF/WAVE chunks: (sample_rate, channels, n_samples, int16
     sample array).  Only PCM (format tag 1), 16-bit."""
@@ -129,14 +220,14 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
 def _real_decode_row(kind: str, data: bytes) -> tuple[int, int, int, int, float]:
     if kind == "image":
-        w, h, _ = _decode_bmp(data)
+        w, h, _ = _decode_image(data)
         return w, h, 1, 0, 0.0
     if kind == "audio":
         sr, _ch, n, _ = _decode_wav(data)
         return 0, 0, n, sr, round(1000.0 * n / sr, 2)
     raise NotImplementedError(
         f"real decode of kind={kind!r} requires an external codec "
-        "(PyAV/torchaudio) — plug it in here; BMP images and PCM WAV "
+        "(PyAV/torchaudio) — plug it in here; BMP/PNG images and PCM WAV "
         "audio decode natively"
     )
 
@@ -172,7 +263,7 @@ def extract_features(
         # 16-bin normalized content histogram — grayscale for images,
         # absolute amplitude for audio; vectorized numpy, no codec
         if kind == "image":
-            _w, _h, px = _decode_bmp(data)
+            _w, _h, px = _decode_image(data)
             gray = px.mean(axis=2).ravel()
             hist, _ = np.histogram(gray, bins=FEATURE_DIM, range=(0.0, 255.0))
         elif kind == "audio":
@@ -234,6 +325,62 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + rows.tobytes()
 
 
+def make_png(
+    width: int, height: int, seed: int = 0, color_type: int = 2
+) -> bytes:
+    """A REAL 8-bit PNG (gray/RGB/RGBA by ``color_type``) with
+    deterministic pixel content, cycling ALL FIVE scanline filter types
+    (y % 5) so every unfilter path in :func:`_decode_png` is exercised;
+    stdlib ``zlib`` only.  Forward filtering is vectorized — PNG filters
+    predict from RAW neighbor bytes, so no sequential dependency on the
+    encode side."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width * channels), dtype=np.uint8)
+    bpp = channels
+    zero = np.zeros(width * channels, dtype=np.int32)
+    lines = []
+    for y in range(height):
+        ft = y % 5
+        cur = px[y].astype(np.int32)
+        prior = px[y - 1].astype(np.int32) if y > 0 else zero
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = (cur - left) % 256
+        elif ft == 2:
+            f = (cur - prior) % 256
+        elif ft == 3:
+            f = (cur - (left + prior) // 2) % 256
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            f = (cur - pred) % 256
+        lines.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
     """A REAL 16-bit mono PCM WAV with deterministic sample content."""
     import struct
@@ -250,15 +397,19 @@ def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
 
 
 def synth_real_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Asset table whose payloads are REAL decodable bytes (BMP/WAV),
-    alternating image/audio — drives DecodeBackend.REAL end-to-end."""
+    """Asset table whose payloads are REAL decodable bytes (BMP/PNG/WAV),
+    alternating image/audio (images alternate BMP and PNG, PNGs cycle
+    gray/RGB/RGBA) — drives DecodeBackend.REAL end-to-end."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
             w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 2
+            if i % 4 == 0:
+                payload = make_bmp(w, h, seed + i)
+            else:
+                payload = make_png(w, h, seed + i, color_type=[0, 2, 6][i % 3])
             rows.append(
-                (i, "image", {"w": str(w), "h": str(h)},
-                 bytearray(make_bmp(w, h, seed + i)))
+                (i, "image", {"w": str(w), "h": str(h)}, bytearray(payload))
             )
         else:
             ns, sr = 1000 + 100 * (i % 9), 8000 * (1 + i % 3)

@@ -28,14 +28,65 @@ from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
 
 
+_H60_SPACE = 1 << 60  # h60 values are uniform in [0, 2^60)
+
+
 def _ranked_top(
-    df: DataFrame, part_cols: list[str], rank_expr, k: int
+    df: DataFrame,
+    part_cols: list[str],
+    rank_expr,
+    k: int,
+    tie_col: str,
+    alpha: int = 8,
 ) -> DataFrame:
-    w = Window.partitionBy(*part_cols).orderBy(rank_expr.asc())
+    """Exact top-``k`` rows per ``part_cols`` group ordered by
+    ``(rank_expr, tie_col)`` — the tie column makes the kept set a pure
+    function of the data even on a (2^-60-rare) hash collision, instead
+    of partition-order-dependent (r04 advice).
+
+    Hot-key bound (r04 verdict #5): a 10^6-degree vertex must not
+    single-task-sort its whole incidence in the row_number window, so
+    candidates are PRE-FILTERED by a rank-hash threshold before the
+    window: a group of ``gsz`` rows keeps rows with
+    ``h < (2^60 // gsz) * alpha * k`` — in expectation ~``alpha*k``
+    survivors, and EXACTLY the right answer because (a) every excluded
+    row hashes above every survivor, so if >= k rows survive the true
+    top-k is inside the survivor set, and (b) groups where fewer than
+    ``min(k, gsz)`` survive (Chernoff-tail rare at alpha=8) fall back
+    to the full window.  All integer arithmetic — no FP boundary
+    ambiguity; groups with ``gsz <= alpha*k`` skip the filter (and the
+    threshold product then always fits in int64).  The group sizes ride
+    one partially-aggregated groupBy, so no single task ever holds a
+    hot group before the filter."""
+    order = [F.col("_h").asc(), F.col(tie_col).asc()]
+    # materialize the hashed candidate set ONCE: sizes/survivors/fallback
+    # all branch off this frame, and without the checkpoint each branch
+    # would recompute the upstream join — multiplicatively per hop in
+    # sample_neighborhood (the multi-reference lineage blowup the LP
+    # loop's per-superstep checkpoint exists to prevent)
+    base = df.withColumn("_h", rank_expr).localCheckpoint(eager=True)
+    sizes = base.groupBy(*part_cols).agg(F.count("*").alias("_gsz"))
+    cand = base.join(sizes, part_cols)
+    keep_all = F.col("_gsz") <= alpha * k
+    thr = (F.lit(_H60_SPACE) / F.col("_gsz")).cast("long") * (alpha * k)
+    surv = cand.filter(keep_all | (F.col("_h") < thr))
+    scnt = surv.groupBy(*part_cols).agg(F.count("*").alias("_scnt"))
+    short = (
+        sizes.join(scnt, part_cols, "left")
+        .filter(
+            (F.coalesce("_scnt", F.lit(0)) < k)
+            & (F.coalesce("_scnt", F.lit(0)) < F.col("_gsz"))
+        )
+        .select(*part_cols)
+    )
+    pool = surv.join(short, part_cols, "left_anti").unionByName(
+        cand.join(short, part_cols, "left_semi")
+    )
+    w = Window.partitionBy(*part_cols).orderBy(*order)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        pool.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        .drop("_rk", "_h", "_gsz")
     )
 
 
@@ -75,7 +126,7 @@ def sample_neighborhood(
         rank_e = h60(
             F.concat_ws(":", F.lit(pre + ":e"), "seed_id", "vertex_id", "edge_id")
         )
-        picked_e = _ranked_top(cand_e, ["seed_id", "vertex_id"], rank_e, f_e).select(
+        picked_e = _ranked_top(cand_e, ["seed_id", "vertex_id"], rank_e, f_e, "edge_id").select(
             "seed_id", "edge_id"
         ).distinct()
         # half-hop 2: sample <= f_v members per chosen (seed, edge)
@@ -85,7 +136,7 @@ def sample_neighborhood(
         rank_v = h60(
             F.concat_ws(":", F.lit(pre + ":v"), "seed_id", "edge_id", "vertex_id")
         )
-        picked_v = _ranked_top(cand_v, ["seed_id", "edge_id"], rank_v, f_v)
+        picked_v = _ranked_top(cand_v, ["seed_id", "edge_id"], rank_v, f_v, "vertex_id")
         hop_rows = picked_v.select(
             "seed_id", F.lit(hop).cast("int").alias("hop"), "edge_id", "vertex_id"
         )
@@ -146,7 +197,7 @@ def random_walks(
         e_rank = h60(F.concat_ws(":", F.lit(pre + ":e"), "seed_id", "edge_id"))
         picked_e = _ranked_top(
             hg.incidence_by_vertex.join(cur, "vertex_id").select("seed_id", "edge_id"),
-            ["seed_id"], e_rank, 1,
+            ["seed_id"], e_rank, 1, "edge_id",
         )
         # choose ONE member of that edge
         v_rank = h60(F.concat_ws(":", F.lit(pre + ":v"), "seed_id", "vertex_id"))
@@ -154,7 +205,7 @@ def random_walks(
             hg.incidence_by_edge.join(picked_e, "edge_id").select(
                 "seed_id", "vertex_id"
             ),
-            ["seed_id"], v_rank, 1,
+            ["seed_id"], v_rank, 1, "vertex_id",
         ).localCheckpoint(eager=True)  # O(1) plan depth, like the LP loop
         out = out.unionByName(
             cur.select("seed_id", F.lit(step).cast("int").alias("step"), "vertex_id")

@@ -426,12 +426,12 @@ def test_neighborhood_sampling_exact_python_parity(spark):
             for v in verts:
                 cand = sorted(
                     by_vertex.get(v, []),
-                    key=lambda e: (h60(f"{pre}:e:{s}:{v}:{e}"), ),
+                    key=lambda e: (h60(f"{pre}:e:{s}:{v}:{e}"), e),
                 )[:f_e]
                 picked_edges.update(cand)
             for e in picked_edges:
                 members = sorted(
-                    by_edge[e], key=lambda v: (h60(f"{pre}:v:{s}:{e}:{v}"), )
+                    by_edge[e], key=lambda v: (h60(f"{pre}:v:{s}:{e}:{v}"), v)
                 )[:f_v]
                 for v in members:
                     expected.add((s, hop, e, v))
@@ -473,12 +473,71 @@ def test_random_walks_exact_python_parity(spark):
             if not edges:
                 del cur[s]
                 continue
-            e = min(edges, key=lambda e: h60(f"{pre}:e:{s}:{e}"))
-            nv = min(by_edge[e], key=lambda v2: h60(f"{pre}:v:{s}:{v2}"))
+            e = min(edges, key=lambda e: (h60(f"{pre}:e:{s}:{e}"), e))
+            nv = min(by_edge[e], key=lambda v2: (h60(f"{pre}:v:{s}:{v2}"), v2))
             expected.add((s, step, nv))
             cur[s] = nv
 
     seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed_id long")
     got = set(map(tuple, random_walks(hg, seeds_df, L, seed=sd).collect()))
     assert got == expected
+    hg.unpersist()
+
+
+def test_ranked_top_hot_key_cap_is_exact(spark):
+    """The rank-hash pre-filter in _ranked_top (r04 verdict #5) is an
+    exactness-preserving optimization: on a skewed graph (one vertex in
+    ~every edge) the capped path with an aggressive alpha=1 (maximally
+    exercising BOTH the filter and the shortfall fallback) returns
+    byte-identical samples to the unfiltered full-window reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+    from hypergraph_gpu_label_propagation_spark.operators.sampling_graph import (
+        _ranked_top,
+        sample_neighborhood,
+    )
+
+    # hub vertex 0 sits in every edge; plus a sprinkle of normal rows
+    rows = sorted(
+        {(e, 0) for e in range(400)}
+        | {(e, 1 + (3 * e + v) % 25) for e in range(400) for v in range(3)}
+    )
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    seeds = spark.createDataFrame([(0,), (5,), (13,)], "seed_id long")
+
+    def plain_top(df, part_cols, rank_expr, k, tie_col):
+        w = Window.partitionBy(*part_cols).orderBy(
+            rank_expr.asc(), F.col(tie_col).asc()
+        )
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    cand = hg.incidence_by_vertex.join(
+        seeds.select(F.col("seed_id"), F.col("seed_id").alias("vertex_id")),
+        "vertex_id",
+    ).select("seed_id", "vertex_id", "edge_id")
+    rank = h60(F.concat_ws(":", F.lit("t:e"), "seed_id", "vertex_id", "edge_id"))
+    for k in (1, 3, 7):
+        for alpha in (1, 8):
+            capped = set(map(tuple, _ranked_top(
+                cand, ["seed_id", "vertex_id"], rank, k, "edge_id", alpha=alpha
+            ).select("seed_id", "vertex_id", "edge_id").collect()))
+            ref = set(map(tuple, plain_top(
+                cand, ["seed_id", "vertex_id"], rank, k, "edge_id"
+            ).select("seed_id", "vertex_id", "edge_id").collect()))
+            assert capped == ref, (k, alpha)
+    # end-to-end through the operator on the hub-heavy graph
+    out = sample_neighborhood(hg, seeds, fanouts=[(3, 4), (2, 2)], seed=3)
+    assert out.count() > 0
+    assert (
+        out.select("edge_id", "vertex_id").distinct()
+        .join(inc, ["edge_id", "vertex_id"], "left_anti").count() == 0
+    )
     hg.unpersist()

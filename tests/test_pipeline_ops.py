@@ -559,3 +559,75 @@ def test_wav_decode_validates_fmt_chunk():
     )
     with pytest.raises(ValueError, match="fmt"):
         _decode_wav(no_fmt)
+
+
+def test_png_decode_byte_exact_all_filters():
+    """REAL PNG decode (r04 verdict #6): make_png cycles all five
+    scanline filter types; the decoder must reconstruct the source
+    pixel array BYTE-EXACTLY for gray, RGB, and RGBA, and reject
+    unsupported depths/interlace with the intended errors."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _decode_png,
+        make_png,
+    )
+
+    for ct, nch in ((0, 1), (2, 3), (6, 4)):
+        w, h = 13, 11  # >= 5 rows -> every filter type used; odd width
+        data = make_png(w, h, seed=7 + ct, color_type=ct)
+        gw, gh, px = _decode_png(data)
+        assert (gw, gh) == (w, h) and px.shape == (h, w, 3)
+        src = (
+            np.random.default_rng(7 + ct)
+            .integers(0, 256, size=(h, w * nch), dtype=np.uint8)
+            .reshape(h, w, nch)
+        )
+        if ct == 0:
+            expected = np.repeat(src, 3, axis=2)
+        elif ct == 2:
+            expected = src
+        else:
+            expected = src[:, :, :3]
+        assert np.array_equal(px, expected), f"color_type={ct}"
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"junkjunkjunk")
+    # 16-bit depth -> NotImplementedError (codec plug point), built by
+    # patching the IHDR depth byte and re-checksumming
+    good = bytearray(make_png(8, 8, seed=1))
+    ihdr_body = bytearray(good[16:29])
+    ihdr_body[8] = 16  # depth byte (IHDR body offset 8)
+    good[16:29] = ihdr_body
+    good[29:33] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(bytes(good))
+
+
+def test_real_decode_assets_include_png(spark):
+    """synth_real_assets now emits PNG payloads for every other image;
+    the REAL mapInPandas decode must report their true dimensions."""
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        PNG_MAGIC,
+        synth_real_assets,
+    )
+
+    assets = synth_real_assets(spark, n=24)
+    raw = {r["asset_id"]: bytes(r["data"]) for r in assets.collect()}
+    png_ids = {a for a, d in raw.items() if d[:8] == PNG_MAGIC}
+    assert len(png_ids) >= 6  # half the images are PNGs
+    dec = decode_assets(assets, backend=DecodeBackend.REAL)
+    meta = {r["asset_id"]: r["meta"] for r in assets.select("asset_id", "meta").collect()}
+    for r in dec.collect():
+        if r["asset_id"] in png_ids:
+            m = meta[r["asset_id"]]
+            assert (r["width"], r["height"]) == (int(m["w"]), int(m["h"]))
+    feats = extract_features(assets, backend=DecodeBackend.REAL).collect()
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
