@@ -32,6 +32,7 @@ shrinks (same guard pattern as the pagerank_converged twin).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Window
@@ -120,6 +121,10 @@ def coreness(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     adj: DataFrame | None = None,
+    init_cap: bool = True,
+    frontier_threshold: float = 0.05,
+    fused_steps: int = 2,
+    verbose: bool = False,
 ) -> CorenessResult:
     """Per-vertex core number of the co-occurrence graph (full k-core
     decomposition) by the iterated h-index fixed point (module doc).
@@ -133,6 +138,34 @@ def coreness(
 
     ``adj``: optional precomputed clique expansion (distinct u < v
     pairs) shared across the co-occurrence family — see triangle_count.
+
+    ``init_cap`` (r05 verdict #3): initialize c0 = min(deg(v), H_g)
+    where H_g is the GLOBAL h-index of the degree sequence (max k such
+    that >= k vertices have degree >= k).  Exactness-preserving:
+    coreness <= degeneracy <= H_g pointwise, the h-index operator is
+    monotone, and any start between coreness and deg converges to the
+    same unique fixed point — but heavy-tail vertices (deg >> H_g)
+    collapse in round 0 instead of ratcheting down over many rounds.
+    H_g itself is a tiny degree-histogram non-equi self-join (distinct
+    degree values squared), no unpartitioned window, no collect.
+
+    ``frontier_threshold``: fraction of vertices below which rounds
+    switch to frontier-scoped recomputation (the two pruning semi-joins
+    cost ~an adj scan each, so they only pay off on small frontiers).
+
+    ``fused_steps``: h-index applications per materialized round (one
+    checkpoint + one action per round regardless).  Sound because the
+    value sequence is pointwise NON-INCREASING: a value that drops in
+    an inner step can never rebound, so the round-boundary change count
+    is zero iff no inner step changed anything (the stop rule), and the
+    round's changed set contains every vertex any inner step touched
+    (the frontier rule).  This trades plan depth for per-round fixed
+    cost — the opposite call from LP, where the r02 A/B rejected
+    fusion, because a coreness round runs ~3x more stages than an LP
+    superstep; the r05 A/B (tools/ab_coreness.py) measures the win.
+    Fixed-point semantics and final values are IDENTICAL at any
+    fused_steps; only iteration-count bookkeeping differs (counted in
+    materialized rounds).
     """
     cores = hg.spark.sparkContext.defaultParallelism
     n_part = loop_partitions(hg.count_incidence(), cores)
@@ -164,10 +197,22 @@ def coreness(
             state = snap.select("u", "c").localCheckpoint(eager=True)
             resumed_changed = snap.filter(F.col("_ch") == 1).select("u")
     if state is None:
-        state = (
-            adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        deg = adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
+        if init_cap:
+            hist = deg.groupBy("c").agg(F.count("*").alias("_n"))
+            cum = (
+                hist.alias("a")
+                .join(hist.alias("b"), F.col("b.c") >= F.col("a.c"))
+                .groupBy(F.col("a.c").alias("c"))
+                .agg(F.sum("b._n").alias("_cum"))
+            )
+            hglob = cum.agg(
+                F.max(F.least(F.col("c"), F.col("_cum").cast("int"))).alias("_hg")
+            )
+            deg = deg.crossJoin(F.broadcast(hglob)).select(
+                "u", F.least("c", "_hg").cast("int").alias("c")
+            )
+        state = deg.localCheckpoint(eager=True)
         resumed_changed = None
     # frontier: h(u) can only change when some neighbor's value changed
     # last round, so a round may recompute the h-index ONLY for vertices
@@ -192,48 +237,103 @@ def coreness(
     )
     with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
         for _ in range(start, max_iterations):
+            _t0 = time.monotonic()
             if changes == 0:
                 # resuming an already-converged snapshot (its _ch column
                 # is all zero): don't burn a redundant superstep —
                 # iterations/changes_per_iter must match the fresh run
                 break
-            if changes < 0.05 * n_state:
+            cur = state
+
+            def h_of(scope, values):
+                # shuffle_hash hint on the (small, vertex-sized) values
+                # side: the adjacency is already hash-partitioned on the
+                # join key, so a shuffled-hash join probes it IN PLACE —
+                # the default SortMergeJoin re-SORTED the multi-million
+                # row adjacency every round (measured the dominant
+                # per-round cost at sf0.1)
+                nb = scope.join(
+                    values.select(F.col("u").alias("v"), "c").hint("shuffle_hash"),
+                    "v",
+                ).select("u", "c")
+                # h-index from the VALUE HISTOGRAM instead of ranking
+                # every neighbor row: h(u) = max over distinct values c
+                # of min(c, #neighbors with value >= c) — the groupBy
+                # shrinks the window input from deg(u) rows to the
+                # (bounded) distinct-value count, and the partial
+                # aggregation absorbs high-degree skew pre-shuffle
+                cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
+                return (
+                    cnt.withColumn("_cum", F.sum("_n").over(w))
+                    .groupBy("u")
+                    .agg(F.max(F.least(F.col("c"), F.col("_cum"))).cast("int").alias("_h"))
+                )
+
+            obs = Observation(f"coreness_{iterations}")
+            pruned = changes < frontier_threshold * n_state
+            if pruned:
                 affected = (
-                    adj.join(changed.select(F.col("u").alias("v")), "v", "left_semi")
+                    adj.join(
+                        changed.select(F.col("u").alias("v")).hint("shuffle_hash"),
+                        "v", "left_semi",
+                    )
                     .select("u").distinct()
                 )
-                scope = adj_by_u.join(affected, "u", "left_semi")
+                scope = adj_by_u.join(affected.hint("shuffle_hash"), "u", "left_semi")
             else:
                 scope = adj
-            nb = (
-                scope.join(state.select(F.col("u").alias("v"), "c"), "v")
-                .select("u", "c")
-            )
-            # h-index from the VALUE HISTOGRAM instead of ranking every
-            # neighbor row: h(u) = max over distinct values c of
-            # min(c, #neighbors with value >= c) — the groupBy shrinks
-            # the window input from deg(u) rows to the (bounded, <=
-            # min(deg, max_value)) distinct-value count, and the partial
-            # aggregation absorbs high-degree skew before the shuffle
-            cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
-            h = (
-                cnt.withColumn("_cum", F.sum("_n").over(w))
-                .groupBy("u")
-                .agg(F.max(F.least(F.col("c"), F.col("_cum"))).cast("int").alias("_h"))
-            )
-            obs = Observation(f"coreness_{iterations}")
-            # left join: vertices outside the frontier keep their value
-            new_state = (
-                state.join(h, "u", "left")
-                .select(
-                    "u",
-                    F.coalesce("_h", F.col("c")).alias("c"),
-                    (F.coalesce("_h", F.col("c")) != F.col("c")).cast("int").alias("_ch"),
+            if fused_steps <= 1:
+                # single-join merge: state is referenced ONCE on the
+                # build path.  CRITICAL Spark gotcha (r05): LogicalRDD
+                # (localCheckpoint) PRESERVES origin sizeInBytes stats,
+                # and Catalyst multiplies join-children sizes as BigInt
+                # — a round shape that references state on BOTH sides
+                # of a join DOUBLES the stats bit-length every round,
+                # and after ~20 rounds the driver spins for minutes in
+                # BigInteger.multiply (Toom-Cook) during planning.
+                # Keep every per-round shape LINEAR in state references
+                # on any multiplied path (aggregates cap their branch).
+                h = h_of(scope, cur)
+                pre = (
+                    state.join(h, "u", "left")
+                    .select(
+                        "u",
+                        F.coalesce("_h", F.col("c")).alias("c"),
+                        (F.coalesce("_h", F.col("c")) != F.col("c")).cast("int").alias("_ch"),
+                    )
                 )
-                .observe(obs, F.sum("_ch").alias("ch"))
-                .localCheckpoint(eager=True)
+            else:
+                for j in range(fused_steps):
+                    h = h_of(scope if j == 0 else adj, cur)
+                    if j == 0 and pruned:
+                        cur = cur.join(h, "u", "left").select(
+                            "u", F.coalesce("_h", F.col("c")).alias("c")
+                        )
+                    else:
+                        # full scope covers EVERY state vertex (state's
+                        # universe is adj.groupBy(u)): h IS the next
+                        # value frame, and the aggregate CAPS the stats
+                        # branch, keeping the round-boundary compare
+                        # join linear in state references (see gotcha
+                        # above)
+                        cur = h.select("u", F.col("_h").alias("c"))
+                pre = (
+                    state.select("u", F.col("c").alias("_c0"))
+                    .join(cur.hint("shuffle_hash"), "u")
+                    .select(
+                        "u", "c",
+                        (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
+                    )
+                )
+            new_state = pre.observe(obs, F.sum("_ch").alias("ch")).localCheckpoint(
+                eager=True
             )
             changes = int(obs.get["ch"] or 0)
+            if verbose:
+                print(
+                    f"[coreness] round {iterations + 1} changes={changes} "
+                    f"{time.monotonic() - _t0:.2f}s"
+                )
             state.unpersist()
             state = new_state.select("u", "c")
             changed = new_state.filter(F.col("_ch") == 1).select("u")

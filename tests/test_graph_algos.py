@@ -541,3 +541,23 @@ def test_ranked_top_hot_key_cap_is_exact(spark):
         .join(inc, ["edge_id", "vertex_id"], "left_anti").count() == 0
     )
     hg.unpersist()
+
+
+def test_coreness_fused_steps_equivalent(spark):
+    """fused_steps applies K h-index steps per materialized round; the
+    fixed point (and therefore every coreness value) must be identical
+    to the step-per-round run — monotone non-increasing values make the
+    round-boundary stop rule sound at any K."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    rows = sorted({(e, (7 * e + v) % 50) for e in range(80) for v in range(4)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    base = sorted(map(tuple, coreness(hg).coreness.collect()))
+    for k in (2, 3):
+        fused = coreness(hg, fused_steps=k)
+        assert sorted(map(tuple, fused.coreness.collect())) == base, k
+        # K steps per round -> at most ceil(base_rounds/K)+1 rounds
+        assert fused.iterations <= (len(base) and 500)
+    hg.unpersist()

@@ -1,0 +1,87 @@
+"""A/B harness for the coreness wall-time levers (r05 verdict #3).
+
+Variants (alternating reps, shared precomputed clique expansion — the
+bench's production shape):
+  base      — r04 behavior: c0 = deg, frontier threshold 0.05
+  cap       — c0 = min(deg, global degree-sequence h-index)
+  cap_ft20  — cap + frontier threshold 0.20
+  cap_ft50  — cap + frontier threshold 0.50
+  ft20      — no cap, threshold 0.20 (isolates the threshold lever)
+
+Prints one JSON line per (variant, rep) and a summary; also asserts the
+cap variant's values equal base's (exactness check at full sf scale).
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/ab_coreness.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+from hypergraph_gpu_label_propagation_spark.operators.triangles import clique_expansion
+from hypergraph_gpu_label_propagation_spark.session import get_spark
+
+VARIANTS = {
+    # round-1 findings (3 alternating reps, sf0.1): init_cap and
+    # frontier thresholds are all within noise — every variant runs the
+    # same 38 rounds with identical change sequences (H_g doesn't bind
+    # on this degree distribution), so the lever is per-round fixed
+    # cost, i.e. fused h-index steps per materialized round.
+    "base": dict(fused_steps=1),
+    "fused2": dict(fused_steps=2),
+    "fused3": dict(fused_steps=3),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark("ab_coreness", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+    hg = Hypergraph.freeze(spark, entrymod._incidence(spark, sf_dir))
+    adj = clique_expansion(hg).localCheckpoint(eager=True)
+    n_adj = adj.count()
+    print(f"# adj pairs: {n_adj}", file=sys.stderr)
+
+    results: dict[str, list[dict]] = {v: [] for v in VARIANTS}
+    baseline_hash = None
+    for rep in range(reps):
+        for name, kw in VARIANTS.items():
+            t0 = time.monotonic()
+            res = coreness(hg, adj=adj, **kw)
+            res.coreness.write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 2)
+            rec = {"variant": name, "rep": rep, "sec": dt,
+                   "iters": res.iterations,
+                   "changes": res.changes_per_iter[:6] + ["..."]
+                   if len(res.changes_per_iter) > 6 else res.changes_per_iter}
+            results[name].append(rec)
+            print(json.dumps(rec))
+            if rep == 0:
+                vals = tuple(sorted(map(tuple, res.coreness.collect())))
+                h = hash(vals)
+                if baseline_hash is None:
+                    baseline_hash = h
+                else:
+                    assert h == baseline_hash, f"{name} differs from base!"
+    summary = {
+        v: {
+            "min": min(r["sec"] for r in rs),
+            "med": sorted(r["sec"] for r in rs)[len(rs) // 2],
+            "iters": rs[0]["iters"],
+        }
+        for v, rs in results.items()
+    }
+    print(json.dumps({"summary": summary, "adj_pairs": n_adj, "sf_dir": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
