@@ -729,8 +729,14 @@ def q_events_stream(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="events_stream_")
     try:
         src = f"{sf_dir}/events.parquet"
+        # flatten: a Spark-written events.parquet is a DIRECTORY of part
+        # files, and readStream.parquet(tmp) does NOT recurse into
+        # subdirectories — nesting the copied dir silently yields an
+        # empty stream (caught by the sf1 scaling audit, r05)
         if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(tmp, "events.parquet"))
+            for fname in os.listdir(src):
+                if fname.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, fname), tmp)
         else:
             shutil.copy(src, tmp)
         name = f"events_stream_{uuid.uuid4().hex[:8]}"
@@ -765,8 +771,14 @@ def q_events_user_stats(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="events_user_stats_")
     try:
         src = f"{sf_dir}/events.parquet"
+        # flatten: a Spark-written events.parquet is a DIRECTORY of part
+        # files, and readStream.parquet(tmp) does NOT recurse into
+        # subdirectories — nesting the copied dir silently yields an
+        # empty stream (caught by the sf1 scaling audit, r05)
         if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(tmp, "events.parquet"))
+            for fname in os.listdir(src):
+                if fname.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, fname), tmp)
         else:
             shutil.copy(src, tmp)
         name = f"user_stats_{uuid.uuid4().hex[:8]}"

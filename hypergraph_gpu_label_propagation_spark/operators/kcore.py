@@ -168,14 +168,27 @@ def coreness(
     materialized rounds).
     """
     cores = hg.spark.sparkContext.defaultParallelism
-    n_part = loop_partitions(hg.count_incidence(), cores)
     half = clique_expansion(hg) if adj is None else adj
     # pre-partition the symmetrized adjacency on the per-round join key
     # at the LOOP's partition count: the neighbor-values join inside the
     # loop then reuses this hashpartitioning(v, n_part) and only the
     # (vertex-sized) state frame exchanges each round — the adjacency
-    # (the big side) is shuffled exactly once, here
-    sym = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # (the big side) is shuffled exactly once, here.
+    # n_part is sized from the EXPANSION row count, not the incidence:
+    # the clique expansion can be several times the incidence (4x on
+    # the sf1 audit input, arbitrarily more on dense co-occurrence),
+    # and incidence-based sizing left 24M adjacency rows in 12
+    # partitions at sf1 — spill-bound rounds (coreness 128.7 s; fixed
+    # sizing + the triangles fix measured in BENCH_SCALING.md r05).
+    # The count scans the materialized checkpoint blocks (cheap); the
+    # extra transient copy is released immediately after the
+    # repartition.
+    sym = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = sym.count()
+    n_part = loop_partitions(n_pairs, cores)
     adj = sym.repartition(n_part, "v").localCheckpoint(eager=True)
     # second copy partitioned by u for the frontier path's scope
     # semi-join: without it, every frontier round re-exchanged the FULL
@@ -183,6 +196,7 @@ def coreness(
     # frontier-adjacent scope.  2x adjacency memory, bounded and
     # loop-local (checkpoint blocks are GC-reclaimed after return).
     adj_by_u = adj.repartition(n_part, "u").localCheckpoint(eager=True)
+    sym.unpersist()
 
     start = 0
     state = None
@@ -235,7 +249,7 @@ def coreness(
         .orderBy(F.col("c").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+    with loop_conf(hg.spark, n_part):
         for _ in range(start, max_iterations):
             _t0 = time.monotonic()
             if changes == 0:

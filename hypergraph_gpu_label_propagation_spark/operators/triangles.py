@@ -21,11 +21,28 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf
+
+# target adjacency PAIRS per shuffle partition for the wedge join: the
+# wedge intermediate (sum of C(out-degree, 2)) inflates well past the
+# pair count, so the divisor is tighter than the loops' 500k-rows rule.
+# Sized by the r05 sf1 A/B (11.96M pairs, local[32]): 32 partitions
+# 183.7 s (spill-bound), 128 partitions 24.6 s, 256 partitions 175.6 s
+# (over-split) — ~100k pairs/partition is the sweet spot, and the same
+# formula leaves sf0.1 (1.2M pairs) at its measured-best 32.
+PAIRS_PER_PARTITION = 100_000
+
+
+def _wedge_partitions(spark, n_pairs: int) -> int:
+    cores = spark.sparkContext.defaultParallelism
+    return max(cores, min(8 * cores, math.ceil(n_pairs / PAIRS_PER_PARTITION)))
 
 
 def clique_expansion(hg: Hypergraph, max_edge_size: int | None = None) -> DataFrame:
@@ -53,6 +70,7 @@ def triangle_count(
     hg: Hypergraph,
     max_edge_size: int | None = None,
     adj: DataFrame | None = None,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Single-row DataFrame (n_triangles: long).
 
@@ -60,27 +78,35 @@ def triangle_count(
     pairs, already materialized) — the whole co-occurrence family
     (triangles / coreness / k-truss / modularity) accepts it so one
     persisted expansion serves every member (bench builds it once).
+    ``n_pairs``: optional row count of ``adj`` (skips one cheap scan of
+    the materialized expansion); used to size the wedge join's shuffle
+    partitions (see PAIRS_PER_PARTITION — the r05 sf1 audit caught the
+    fixed session default going 7.5x spill-slow at 10x data).
     """
     # persist()+count(), not eager localCheckpoint: the round-4 A/B
     # (tools/ab_triangles.py, 4 alternating reps at sf0.1, min/median)
     # measured A=localCheckpoint 5.68/9.04s, B=persist+count 5.53/5.70s,
     # C=none 9.04/9.65s — persist wins and is far more noise-robust.
-    # The 1-row result is materialized eagerly so adj can be unpersisted
-    # before returning (no CacheManager entry outlives the call).
+    # The 1-row result is materialized eagerly (inside the partition
+    # scope — the conf must be live at action time) so adj can be
+    # unpersisted before returning (no CacheManager entry outlives the
+    # call).
     own = None
     if adj is None:
         own = clique_expansion(hg, max_edge_size).persist(StorageLevel.MEMORY_AND_DISK)
-        own.count()
+        n_pairs = own.count()
         adj = own
-    wedges = adj.join(
-        adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
-    )  # u < v < w by construction
-    tri = wedges.join(
-        adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-    )
-    out = tri.agg(F.count("*").alias("n_triangles"))
+    elif n_pairs is None:
+        n_pairs = adj.count()
+    with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
+        wedges = adj.join(
+            adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+        )  # u < v < w by construction
+        tri = wedges.join(
+            adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+        )
+        out = tri.agg(F.count("*").alias("n_triangles")).localCheckpoint(eager=True)
     if own is not None:
-        out = out.localCheckpoint(eager=True)  # 1 row — materialize now
         own.unpersist()
     return out
 
@@ -89,26 +115,34 @@ def per_vertex_triangle_count(
     hg: Hypergraph,
     max_edge_size: int | None = None,
     adj: DataFrame | None = None,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """(vertex_id, n_triangles) — triangles incident to each vertex;
-    degree-0 / triangle-free vertices get 0."""
+    degree-0 / triangle-free vertices get 0.  Partition sizing as in
+    :func:`triangle_count`."""
     own = None
     if adj is None:
         own = clique_expansion(hg, max_edge_size).persist(StorageLevel.MEMORY_AND_DISK)
-        own.count()
+        n_pairs = own.count()
         adj = own
-    wedges = adj.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
-    tri = wedges.join(adj.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
-    per = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("vertex_id"))
-        .groupBy("vertex_id")
-        .agg(F.count("*").alias("cnt"))
-    )
-    out = hg.vertices().join(per, "vertex_id", "left").select(
-        "vertex_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles")
-    )
+    elif n_pairs is None:
+        n_pairs = adj.count()
+    with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
+        wedges = adj.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
+        tri = wedges.join(adj.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
+        per = (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("vertex_id"))
+            .groupBy("vertex_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        out = (
+            hg.vertices().join(per, "vertex_id", "left").select(
+                "vertex_id",
+                F.coalesce("cnt", F.lit(0)).cast("long").alias("n_triangles"),
+            )
+            .localCheckpoint(eager=True)  # vertex-sized — materialize in-scope
+        )
     if own is not None:
-        out = out.localCheckpoint(eager=True)  # vertex-sized — materialize
         own.unpersist()
     return out
 

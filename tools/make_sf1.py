@@ -8,10 +8,12 @@ sf0.1 parquet by key-shifted replication (10 disjoint copies):
 - ``lineitem``/``orders``: l_orderkey/o_orderkey += i*OFF_O and
   l_partkey += i*OFF_P — graph entries see a 10x-vertex, 10x-edge
   hypergraph of identical local structure (clean scaling denominator);
-- ``documents``: doc_id shifted; text gets a per-copy suffix token so
-  the corpus has no artificial cross-copy exact/near duplicates (which
-  would quadratically distort the dedup entries instead of scaling
-  them);
+- ``documents``: doc_id shifted; every TOKEN gets a per-copy tag (an
+  injective token remap per copy: intra-copy shingle/Jaccard structure
+  is preserved exactly, and copies share ZERO shingles, so MinHash/LSH
+  workloads scale in corpus size instead of drowning in cross-copy
+  near-duplicates — a plain per-doc suffix left ~all shingles shared
+  and blew the sf1 candidate-pair count 7000x, caught r05);
 - ``embeddings``: vec_id shifted; vectors ROTATED by the copy index
   (norm-preserving, directions decorrelate) so ANN/near-dup workloads
   scale in corpus size rather than degenerating into 10-way ties;
@@ -75,13 +77,15 @@ def main() -> None:
 
     docs = rd("documents")
     off_d = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    tag = F.concat(F.lit("q"), F.col("_i").cast("string"))
+    tagged_text = F.array_join(
+        F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, tag)),
+        " ",
+    )
     wr(
         docs.crossJoin(spark.range(COPIES).select(F.col("id").alias("_i"))).select(
             (F.col("doc_id") + F.col("_i") * off_d).alias("doc_id"),
-            F.concat(
-                F.col("text"), F.lit(" uq"), F.col("_i").cast("string"),
-                F.lit("x"), F.col("doc_id").cast("string"),
-            ).alias("text"),
+            tagged_text.alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         ),
         "documents",
