@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 from hypergraph_gpu_label_propagation_spark.operators.triangles import clique_expansion
-from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf, loop_partitions
+from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf
 
 
 @dataclass
@@ -56,7 +56,15 @@ def k_truss(
     removed_per_iter: list[int] = []
     iterations = 0
     cores = hg.spark.sparkContext.defaultParallelism
-    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+    # partitions sized from the EXPANSION, not the incidence (the sf1
+    # audit measured the wedge-heavy peel 12.7x at 10x data under the
+    # incidence-sized conf — same spill mechanism as triangle_count;
+    # see triangles.PAIRS_PER_PARTITION and BENCH_SCALING.md r05)
+    from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+        _wedge_partitions,
+    )
+
+    with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_alive), adaptive=True):
         for _ in range(max_iterations):
             sym = alive.unionByName(
                 alive.select(F.col("v").alias("u"), F.col("u").alias("v"))
