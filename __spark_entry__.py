@@ -1089,24 +1089,32 @@ def q_incremental_cc(spark, sf_dir):
         run_incremental_cc,
     )
 
+    import shutil
+
     inc = _incidence(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="icc_gate_")
-    stream_dir = os.path.join(tmp, "stream")
-    os.makedirs(stream_dir)
-    state = os.path.join(tmp, "state")
-    inc.filter(F.pmod("edge_id", F.lit(3)) == 0).coalesce(1).write.parquet(
-        os.path.join(stream_dir, "b0")
-    )
-    run_incremental_cc(spark, stream_dir + "/*", state)
-    inc.filter(F.pmod("edge_id", F.lit(3)) != 0).coalesce(1).write.parquet(
-        os.path.join(stream_dir, "b1")
-    )
-    res = run_incremental_cc(spark, stream_dir + "/*", state)
-    uni = _universe(spark, _nv(spark, sf_dir))
-    return uni.join(res.labels, "vertex_id", "left").select(
-        "vertex_id",
-        F.coalesce("component", F.col("vertex_id")).cast("long").alias("component"),
-    )
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        os.makedirs(stream_dir)
+        state = os.path.join(tmp, "state")
+        inc.filter(F.pmod("edge_id", F.lit(3)) == 0).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b0")
+        )
+        run_incremental_cc(spark, stream_dir + "/*", state)
+        inc.filter(F.pmod("edge_id", F.lit(3)) != 0).coalesce(1).write.parquet(
+            os.path.join(stream_dir, "b1")
+        )
+        res = run_incremental_cc(spark, stream_dir + "/*", state)
+        uni = _universe(spark, _nv(spark, sf_dir))
+        out = uni.join(res.labels, "vertex_id", "left").select(
+            "vertex_id",
+            F.coalesce("component", F.col("vertex_id")).cast("long").alias("component"),
+        )
+        # materialize BEFORE the finally removes the parquet state the
+        # lazy plan still reads (same discipline as q_graph_sampling)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -220,8 +220,15 @@ def coreness(
                 .groupBy(F.col("a.c").alias("c"))
                 .agg(F.sum("b._n").alias("_cum"))
             )
+            # _cum stays LONG inside the least: with >2^31 vertices of
+            # degree >= c an int cast would wrap negative and silently
+            # compute H_g below true, capping c0 UNDER real coreness
+            # (r05 advice).  least(c, _cum) <= c <= max degree, so only
+            # the final _hg is safely cast back to int.
             hglob = cum.agg(
-                F.max(F.least(F.col("c"), F.col("_cum").cast("int"))).alias("_hg")
+                F.max(F.least(F.col("c").cast("long"), F.col("_cum")))
+                .cast("int")
+                .alias("_hg")
             )
             deg = deg.crossJoin(F.broadcast(hglob)).select(
                 "u", F.least("c", "_hg").cast("int").alias("c")

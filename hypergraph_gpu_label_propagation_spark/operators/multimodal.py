@@ -140,11 +140,24 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     stride, bpp = w * channels, channels
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
+    # filter-type census up front: None/Up/Sub unfilter fully vectorized
+    # at any size, but Average/Paeth keep a per-byte left-dependency loop
+    # — interpreter-bound, so real-sized photos routed through
+    # DecodeBackend.REAL must hit the documented external-codec plug
+    # point instead of effectively hanging the executor (r05 advice)
+    fts = np.frombuffer(raw, np.uint8)[:: stride + 1][:h]
+    if fts.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(fts.max())}")
+    if np.isin(fts, (3, 4)).any() and h * w > 1 << 20:
+        raise NotImplementedError(
+            f"PNG with Average/Paeth filtered scanlines above 1 MP "
+            f"({w}x{h}) needs an external codec (Pillow plug point, "
+            f"DecodeBackend.REAL) — the stdlib unfilter is per-byte "
+            f"Python for those filter types"
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = raw[y * (stride + 1)]
-        if ft > 4:
-            raise ValueError(f"bad PNG filter type {ft}")
         line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(
             np.int32
         )
@@ -153,14 +166,18 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             rec = line
         elif ft == 2:  # Up: fully vectorized (no left dependency)
             rec = (line + prior) % 256
-        else:  # Sub/Average/Paeth reference the reconstructed left pixel
+        elif ft == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] == per-channel
+            # prefix sum mod 256 — vectorized via reshape + cumsum
+            rec = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
+                .reshape(stride) % 256
+            )
+        else:  # Average/Paeth reference the reconstructed left pixel
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
                 a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prior[x])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:  # Paeth
                     c = int(prior[x - bpp]) if x >= bpp else 0

@@ -68,7 +68,12 @@ def _ranked_top(
     sizes = base.groupBy(*part_cols).agg(F.count("*").alias("_gsz"))
     cand = base.join(sizes, part_cols)
     keep_all = F.col("_gsz") <= alpha * k
-    thr = (F.lit(_H60_SPACE) / F.col("_gsz")).cast("long") * (alpha * k)
+    # integer `div` (not `/`, which is DOUBLE division in Spark) so the
+    # threshold really is the integer arithmetic the docstring promises
+    # (r05 advice) — exactness never depended on the exact value (the
+    # shortfall fallback covers any threshold), but keeping it integral
+    # means future edits may rely on the stated bound literally
+    thr = F.expr(f"CAST({_H60_SPACE} AS BIGINT) div _gsz") * (alpha * k)
     surv = cand.filter(keep_all | (F.col("_h") < thr))
     scnt = surv.groupBy(*part_cols).agg(F.count("*").alias("_scnt"))
     short = (

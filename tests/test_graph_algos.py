@@ -551,13 +551,19 @@ def test_coreness_fused_steps_equivalent(spark):
     from hypergraph_gpu_label_propagation_spark.model import Hypergraph
     from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
 
+    import math
+
     rows = sorted({(e, (7 * e + v) % 50) for e in range(80) for v in range(4)})
     inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
     hg = Hypergraph.freeze(spark, inc)
-    base = sorted(map(tuple, coreness(hg).coreness.collect()))
+    base_run = coreness(hg, fused_steps=1)
+    base = sorted(map(tuple, base_run.coreness.collect()))
     for k in (2, 3):
         fused = coreness(hg, fused_steps=k)
         assert sorted(map(tuple, fused.coreness.collect())) == base, k
-        # K steps per round -> at most ceil(base_rounds/K)+1 rounds
-        assert fused.iterations <= (len(base) and 500)
+        # K steps per round -> at most ceil(base_rounds/K)+1 materialized
+        # rounds (the +1 is the final zero-change confirmation round)
+        assert fused.iterations <= math.ceil(base_run.iterations / k) + 1, (
+            k, fused.iterations, base_run.iterations,
+        )
     hg.unpersist()
