@@ -12,6 +12,16 @@ join/agg shuffle shape as an LP superstep with ``min`` instead of the
 majority vote.  ``min`` is algebraic, so partial aggregation absorbs
 skew.  Converges in O(hypergraph diameter) supersteps; each superstep
 localCheckpoints to keep lineage flat.
+
+Round-shape rule (see plans/inspect.py::stats_size_bits and
+tests/test_plans.py::test_iterative_state_stats_stay_linear): the
+min-propagation rounds reference state once per stats-multiplied join
+(the incidence side is the frozen layout).  The pointer-jumping hop IS
+a state x state self-join — its size estimate doubles its bit length
+each round — but pointer jumping also bounds rounds at O(log diameter)
+(measured <= 8 everywhere), so the estimate stays ~thousands of bits,
+far below the BigInt planning pathology's onset (~20+ doublings).
+Disable ``pointer_jumping`` before raising ``max_iterations`` past ~30.
 """
 
 from __future__ import annotations

@@ -314,6 +314,9 @@ def coreness(
                 # BigInteger.multiply (Toom-Cook) during planning.
                 # Keep every per-round shape LINEAR in state references
                 # on any multiplied path (aggregates cap their branch).
+                # Guarded by plans/inspect.py::assert_linear_state_refs
+                # via tests/test_plans.py::
+                # test_iterative_state_stats_stay_linear.
                 h = h_of(scope, cur)
                 pre = (
                     state.join(h, "u", "left")

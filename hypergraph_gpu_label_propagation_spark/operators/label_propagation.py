@@ -245,6 +245,14 @@ def label_propagation(
     """Run LP to convergence (reference loop openmp:58-158, defaults
     argparse.hpp:26-27: iterations=100, tolerance=1e-6).
 
+    Round-shape rule: each superstep references the checkpointed label
+    state on only ONE side of any stats-multiplied join (the other side
+    is always the frozen incidence layout), so Catalyst's sizeInBytes
+    estimate grows linearly in supersteps — see
+    plans/inspect.py::stats_size_bits and tests/test_plans.py::
+    test_iterative_state_stats_stay_linear for the BigInt planning
+    pathology a state-squared shape causes.
+
     ``checkpoint_dir`` enables durable per-superstep snapshots (labels
     parquet + metrics jsonl) for mid-run resume; ``resume=True`` picks
     up from the latest snapshot in that directory.  ``weighted`` enables

@@ -121,3 +121,86 @@ def test_loop_conf_restores_on_error(spark):
     assert loop_partitions(100, 32) == 8
     assert loop_partitions(20_000_000, 32) == 40
     assert loop_partitions(10**12, 32) == 64  # cap 2x cores (round-4 A/B)
+
+
+def test_iterative_state_stats_stay_linear(spark):
+    """r05 verdict #4: the BigInt-stats planning pathology as a pytest.
+
+    localCheckpoint (LogicalRDD) PRESERVES origin sizeInBytes and
+    Catalyst MULTIPLIES join children's estimates as BigInt, so a round
+    shape referencing state on both sides of an inner join DOUBLES the
+    estimate's bit length per round (940 s planning spin observed before
+    the kcore fix).  Because the growth rate is a property of the PLAN
+    SHAPE, tiny inputs expose it: run each iterative loop at two round
+    budgets and assert the per-round bit growth is a small constant —
+    a squaring shape multiplies bits by 2^(extra rounds) and fails
+    unmistakably.  Referenced from label_propagation.py / components.py
+    / kcore.py / ktruss.py loop comments.
+    """
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.components import (
+        connected_components,
+    )
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+    from hypergraph_gpu_label_propagation_spark.operators.ktruss import k_truss
+    from hypergraph_gpu_label_propagation_spark.operators.label_propagation import (
+        label_propagation,
+    )
+    from hypergraph_gpu_label_propagation_spark.plans.inspect import (
+        assert_linear_state_refs,
+        stats_size_bits,
+    )
+
+    import random
+
+    # long path: deep CC/LP/coreness convergence (>= 15 rounds each)
+    rows = [(e, e) for e in range(60)] + [(e, e + 1) for e in range(60)]
+    inc = spark.createDataFrame(sorted(set(rows)), "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    # seeded random graph with a verified 4-round k=4 peel cascade
+    rng = random.Random(11)
+    pairs = sorted({tuple(sorted(rng.sample(range(50), 2))) for _ in range(200)})
+    inc_t = spark.createDataFrame(
+        [(i, x) for i, e in enumerate(pairs) for x in e], "edge_id long, vertex_id long"
+    )
+    hg_t = Hypergraph.freeze(spark, inc_t)
+    # all-distinct labels: LP's smallest-wins tie-break then propagates
+    # like min-label CC along the path — deep (>= 15 round) convergence
+    labels0 = hg.vertices().select(
+        "vertex_id", F.col("vertex_id").cast("int").alias("label")
+    )
+
+    def lp(n):
+        r = label_propagation(hg, labels0, max_iterations=n)
+        return r.labels, r.iterations
+
+    def cc(n):
+        r = connected_components(hg, max_iterations=n, pointer_jumping=False)
+        return r.components, r.iterations
+
+    def core(n):
+        r = coreness(hg, max_iterations=n, init_cap=False, fused_steps=1)
+        return r.coreness, r.iterations
+
+    def truss(n):
+        r = k_truss(hg_t, k=4, max_iterations=n)
+        return r.membership, r.iterations
+
+    for name, run, lo, hi in (
+        ("lp", lp, 2, 6),
+        ("cc", cc, 2, 6),
+        ("coreness", core, 2, 6),
+        # seed-11 graph peels in exactly 3 dropping rounds at k=4
+        ("ktruss", truss, 1, 3),
+    ):
+        df_lo, it_lo = run(lo)
+        b_lo = stats_size_bits(df_lo)
+        df_hi, it_hi = run(hi)
+        b_hi = assert_linear_state_refs(df_hi, context=name)
+        # non-vacuity: the hi run must have actually executed hi rounds
+        assert it_hi == hi, (name, it_hi)
+        # linear: <= ~60 extra bits per extra round (measured ~9-30);
+        # squaring: bits multiply by 2^(hi-lo) and blow far past this
+        assert b_hi <= b_lo + (hi - lo) * 120, (name, b_lo, b_hi)
+    hg.unpersist()
+    hg_t.unpersist()
