@@ -55,6 +55,27 @@ HEADLINE = [
     "source_files_hypergraph",
 ]
 
+# sf1 standing gate (r05 verdict #7): after the sf0.1 board, the 8
+# heavy entries (+ their two build prerequisites) run ONCE, cold, at
+# 10x data synthesized from the driver's own sf0.1 parquet
+# (tools/make_sf1.py — key-shifted disjoint copies, no external data).
+# Superlinear regressions (the r05 audit caught a 22.8x triangle spill
+# and a silently-empty stream this way) surface in every BENCH_r{N}
+# instead of waiting for a hand-run audit.  SPARK_GRAFT_BENCH_SF1=0
+# skips; SPARK_GRAFT_SF1_DIR overrides the staging dir.
+SF1_HEAVY = [
+    "lp_superstep",
+    "lp_converged",
+    "lp_bucketed_build",
+    "lp_bucketed_run",
+    "clique_adj_build",
+    "coreness",
+    "pagerank_converged",
+    "connected_components",
+    "triangle_count",
+    "minhash_lsh",
+]
+
 
 def _special_entries(spark, sf_dir):
     """Bench-only decompositions of contract queries (the contract
@@ -149,9 +170,9 @@ def main() -> None:
     rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     counter = [0]
 
-    def run_entry(name: str) -> float:
+    def run_entry(name: str, data_dir: str = sf_dir) -> float:
         t0 = time.monotonic()
-        df = queries[name](spark, sf_dir)
+        df = queries[name](spark, data_dir)
         # noop sink materializes EVERY column of every row (a bare count
         # would let Catalyst prune columns and flatter the timing); the
         # row count rides the same job via observe()
@@ -162,7 +183,8 @@ def main() -> None:
         ).save()
         n = obs.get["n"]
         dt = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+        tag = "" if data_dir == sf_dir else f"@{os.path.basename(data_dir.rstrip('/'))}"
+        print(f"# {name}{tag}: {n} rows in {dt}s", file=sys.stderr)
         if name == "lp_bucketed_run" and "bucketed_hg" in shared:
             shared.pop("bucketed_hg").unpersist()
         return dt
@@ -204,6 +226,47 @@ def main() -> None:
         "cpus": cpus,
     }
 
+    # ---- sf1 standing gate (r05 verdict #7): one cold rep of the
+    # heavy subset at 10x data.  Ratios compare a COLD sf1 shot to the
+    # sf0.1 min-of-reps (labeled as such: regime-mixed, good for
+    # catching order-of-magnitude superlinearity, not for fine deltas).
+    sf1_section = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf != "1":
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_synth")
+        try:
+            if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+                from tools.make_sf1 import synthesize
+
+                t0 = time.monotonic()
+                synthesize(spark, sf1_dir)
+                print(
+                    f"# sf1 synthesized in {time.monotonic() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            sf1_times: dict[str, float | None] = {}
+            for name in SF1_HEAVY:
+                try:
+                    sf1_times[name] = run_entry(name, sf1_dir)
+                except Exception as exc:  # keep the gate best-effort
+                    sf1_times[name] = None
+                    print(f"# {name}@sf1 FAILED: {exc}", file=sys.stderr)
+            if "hg" in shared:
+                shared.pop("hg").unpersist()
+            if "adj" in shared:
+                shared.pop("adj").unpersist()
+            sf1_section = {
+                "dir": sf1_dir,
+                "reps": 1,
+                "queries": sf1_times,
+                "x_at_10x_cold_vs_min": {
+                    n: round(t / timings[n], 2)
+                    for n, t in sf1_times.items()
+                    if t is not None and timings.get(n, 0) > 0
+                },
+            }
+        except Exception as exc:
+            sf1_section = {"err": str(exc)}
+
     total = round(sum(timings.values()) + lp_wall, 3)
     print(
         json.dumps(
@@ -216,6 +279,7 @@ def main() -> None:
                 "bench_reps": reps,
                 "sf": sf,
                 "lp": lp,
+                "sf1": sf1_section,
             }
         )
     )

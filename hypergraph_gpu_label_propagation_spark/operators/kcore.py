@@ -124,6 +124,9 @@ def coreness(
     init_cap: bool = True,
     frontier_threshold: float = 0.05,
     fused_steps: int = 2,
+    fused_steps_pruned: int | None = None,
+    scope_inner_steps: bool = False,
+    gauss_seidel: bool = False,
     verbose: bool = False,
 ) -> CorenessResult:
     """Per-vertex core number of the co-occurrence graph (full k-core
@@ -166,7 +169,47 @@ def coreness(
     Fixed-point semantics and final values are IDENTICAL at any
     fused_steps; only iteration-count bookkeeping differs (counted in
     materialized rounds).
+
+    ``fused_steps_pruned`` (r06, verdict #3 — measured a WASH, default
+    stays ``fused_steps``): inner steps fused per MATERIALIZED round
+    once the frontier is small.  Inner step 0 of a pruned round is
+    frontier-scoped (exact: a vertex with no changed neighbor provably
+    keeps its h); steps >= 1 recompute over the FULL adjacency, so
+    every inner step is an exact Jacobi sweep and final values are
+    schedule-identical at any setting.  sf0.1 min-of-3: default 21.0 s
+    / 20 rounds, pruned4 21.1 s / 16 rounds, pruned6 24.4 s / 14
+    rounds — materialized-round count drops but wall doesn't, proving
+    the cost is the full-adj h_of sweeps themselves (~38-40 Jacobi
+    sweeps x ~0.5 s), not round boundaries.  See BENCH_SCALING.md
+    round 6 for the floor analysis.
+
+    ``scope_inner_steps`` (r06 verdict #3, DOCUMENTED NEGATIVE —
+    default off): keep the round's frontier scope for EVERY fused
+    inner step of a pruned round.  Still converges to the same fixed
+    point (lazier schedule: an update deferred outside the scope is,
+    by the frontier invariant, a neighbor of a boundary-changed vertex
+    so the next round's scope covers it; zero boundary changes still
+    certifies the fixed point by monotonicity) — but the lazy schedule
+    RE-EXPANDS the frontier through regions full sweeps would have
+    settled (sf0.1: boundary changes grow 107 -> 9,788 across the
+    tail) and each pruned round pays a scope checkpoint + a 4-deep
+    merge lineage: 67.6 s vs 20.7 s default.  See BENCH_SCALING.md
+    round 6.
+
+    ``gauss_seidel`` (r05 verdict #3, kept as a DOCUMENTED NEGATIVE —
+    default off): each sweep as two half-sweeps over a vertex
+    2-coloring, the odd half reading the even half's fresh values.
+    Exact (monotone operator, unique fixed point => schedule-free
+    convergence; verified value-identical), and it does cut sweeps
+    (38 Jacobi -> 30 parallel-2-color GS -> 15 materialized rounds at
+    fused 2) — but each round's plan carries 4 join+agg+window chains
+    instead of 2 and the duplicated half subtrees do NOT collapse into
+    reused exchanges, so rounds cost 3.2-6.1 s vs 0.7-3.1 s and the
+    wall LOSES 3x (74.0 s vs 22.3 s at sf0.1).  See BENCH_SCALING.md
+    round 6.
     """
+    if fused_steps_pruned is None:
+        fused_steps_pruned = fused_steps
     cores = hg.spark.sparkContext.defaultParallelism
     half = clique_expansion(hg) if adj is None else adj
     # pre-partition the symmetrized adjacency on the per-round join key
@@ -300,10 +343,62 @@ def coreness(
                     )
                     .select("u").distinct()
                 )
-                scope = adj_by_u.join(affected.hint("shuffle_hash"), "u", "left_semi")
+                scope = adj_by_u.join(
+                    affected.hint("shuffle_hash"), "u", "left_semi"
+                )
+                if scope_inner_steps:
+                    # the lazy-schedule variant re-references the scope
+                    # multiplicatively through its per-step left-merge
+                    # lineage — materialize once so each re-reference
+                    # scans a frontier-sized block
+                    scope = scope.localCheckpoint(eager=True)
             else:
                 scope = adj
-            if fused_steps <= 1:
+            def gs_sweep(scope_j, values, prune_j):
+                """One Gauss-Seidel sweep: even-u half on ``values``,
+                odd-u half on the even half's fresh output.  In pruned
+                rounds each half left-merges onto its color's old
+                values (unaffected vertices keep theirs); in full
+                rounds each half's aggregate covers every vertex of its
+                color.  The duplicated half subtrees collapse to
+                ReusedExchange at the physical level (verified), so a
+                sweep's data volume equals one Jacobi sweep's."""
+                halves = []
+                vals = values
+                for par in (0, 1):
+                    par_of = F.pmod(F.col("u"), F.lit(2)) == par
+                    h = h_of(scope_j.filter(par_of), vals)
+                    if prune_j:
+                        half = (
+                            vals.filter(par_of)
+                            .join(h, "u", "left")
+                            .select("u", F.coalesce("_h", F.col("c")).alias("c"))
+                        )
+                    else:
+                        half = h.select("u", F.col("_h").alias("c"))
+                    halves.append(half)
+                    if par == 0:
+                        vals = half.unionByName(
+                            values.filter(F.pmod(F.col("u"), F.lit(2)) == 1).select(
+                                "u", "c"
+                            )
+                        )
+                return halves[0].unionByName(halves[1])
+
+            if gauss_seidel:
+                for j in range(fused_steps):
+                    cur = gs_sweep(
+                        scope if j == 0 else adj, cur, pruned and j == 0
+                    )
+                pre = (
+                    state.select("u", F.col("c").alias("_c0"))
+                    .join(cur.hint("shuffle_hash"), "u")
+                    .select(
+                        "u", "c",
+                        (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
+                    )
+                )
+            elif fused_steps <= 1:
                 # single-join merge: state is referenced ONCE on the
                 # build path.  CRITICAL Spark gotcha (r05): LogicalRDD
                 # (localCheckpoint) PRESERVES origin sizeInBytes stats,
@@ -327,9 +422,10 @@ def coreness(
                     )
                 )
             else:
-                for j in range(fused_steps):
-                    h = h_of(scope if j == 0 else adj, cur)
-                    if j == 0 and pruned:
+                for j in range(fused_steps_pruned if pruned else fused_steps):
+                    scoped = pruned and (j == 0 or scope_inner_steps)
+                    h = h_of(scope if scoped else adj, cur)
+                    if scoped:
                         cur = cur.join(h, "u", "left").select(
                             "u", F.coalesce("_h", F.col("c")).alias("c")
                         )
@@ -359,6 +455,8 @@ def coreness(
                     f"{time.monotonic() - _t0:.2f}s"
                 )
             state.unpersist()
+            if pruned:
+                scope.unpersist()
             state = new_state.select("u", "c")
             changed = new_state.filter(F.col("_ch") == 1).select("u")
             iterations += 1

@@ -27,6 +27,41 @@ from pyspark.storagelevel import StorageLevel
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
 
 
+# Crossover rule for auto-choosing the durable bucketed layout over the
+# in-session repartition+persist freeze (r05 verdict #5, measured at
+# sf0.1 and sf1 with alternating reps, BENCH_SCALING.md round 6):
+#
+#   - sf0.1 (~600k incidence rows, 7 supersteps): build 2.6 s +
+#     run 6.0 s ~= hash-layout loop 7.4 s -- break-even;
+#   - sf1 (~6M rows, 7 supersteps): build+run ~25 s vs 56.5 s --
+#     bucketed wins 2.2x, and the gap WIDENS with scale (the bucketed
+#     loop was the sf1 audit's best scaler at 2.3x per 10x data vs
+#     6.2x for the hash layout).
+#
+# Break-even is therefore ~600k rows x ~8 supersteps ~= 5M row-
+# supersteps; above it the one-time table write amortizes inside a
+# single convergence run.  At 100 TB every LP run crosses this by 6+
+# orders of magnitude -- i.e. the durable layout is simply the
+# production default, and the threshold only matters for small ad-hoc
+# graphs.  LP on planted/hSBM-like inputs converges in ~5-15
+# supersteps, so the rule uses 8 as the expected-superstep estimate
+# when the caller doesn't know the real count.
+BUCKETED_CROSSOVER_ROW_SUPERSTEPS = 5_000_000
+EXPECTED_SUPERSTEPS = 8
+
+
+def should_bucket(
+    incidence_rows: int, expected_supersteps: int = EXPECTED_SUPERSTEPS
+) -> bool:
+    """True when a convergence-style run over ``incidence_rows`` is
+    expected to amortize the one-time bucketed-table write (see the
+    crossover measurement above)."""
+    return (
+        incidence_rows * expected_supersteps
+        >= BUCKETED_CROSSOVER_ROW_SUPERSTEPS
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff an Iceberg catalog is configured in this session
     (runtime detection: the Iceberg runtime jar registers

@@ -42,10 +42,11 @@ COPIES = 10
 SRC = "/root/testdata/sf0.1"
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+def synthesize(spark, out: str) -> None:
+    """Build the sf1 tables under ``out`` from the driver's sf0.1
+    parquet.  Callable from bench.py (sf1 standing gate, r05 verdict
+    #7) with the bench's own session."""
     os.makedirs(out, exist_ok=True)
-    spark = get_spark("make_sf1")
 
     def rd(name):
         return spark.read.parquet(f"{SRC}/{name}.parquet")
@@ -126,6 +127,12 @@ def main() -> None:
     for name in ("region", "nation", "customer", "supplier", "part"):
         wr(rd(name), name)
     print(f"done: {out}")
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    spark = get_spark("make_sf1")
+    synthesize(spark, out)
 
 
 if __name__ == "__main__":
