@@ -89,6 +89,23 @@ def iceberg_available(spark: SparkSession) -> bool:
     )
 
 
+def v2_verb(mode: str) -> tuple[str, bool]:
+    """Map a DataFrameWriter-style ``mode`` to the DataFrameWriterV2
+    verb and whether the write defines the table (needs the
+    ``using('iceberg')`` + ``partitionedBy(bucket(N, key))`` DDL) or
+    appends to an existing one (must NOT re-declare the transform).
+    Pure function so the mode matrix is unit-testable without an
+    Iceberg runtime jar (r05 verdict #6); anything unknown is rejected
+    rather than silently replacing a table."""
+    if mode == "overwrite":
+        return "createOrReplace", True
+    if mode == "append":
+        return "append", False
+    if mode in ("error", "errorifexists"):
+        return "create", True
+    raise ValueError(f"unsupported mode for Iceberg bucketed write: {mode!r}")
+
+
 def _write_iceberg_bucketed(
     incidence: DataFrame, table: str, buckets: int, key: str,
     mode: str = "overwrite",
@@ -96,26 +113,16 @@ def _write_iceberg_bucketed(
     """Iceberg path: DataFrameWriterV2 with a ``bucket(N, key)``
     partition transform — the exact layout SURVEY §1.2 names for the
     100 TB deployment.  Only reachable when :func:`iceberg_available`;
-    exercised on clusters, not in this sandbox (no jar).  ``mode`` maps
-    to the V2 verbs (overwrite -> createOrReplace, append -> append,
-    error/errorifexists -> create); anything else is rejected rather
-    than silently replaced."""
+    exercised on clusters, not in this sandbox (no jar).  All decision
+    logic lives in :func:`v2_verb` (unit-tested); this body is the
+    literal three-call API chain."""
     from pyspark.sql import functions as F
 
-    writer = (
-        incidence.sortWithinPartitions(key)
-        .writeTo(table)
-        .using("iceberg")
-        .partitionedBy(F.bucket(buckets, key))
-    )
-    if mode == "overwrite":
-        writer.createOrReplace()
-    elif mode == "append":
-        incidence.sortWithinPartitions(key).writeTo(table).append()
-    elif mode in ("error", "errorifexists"):
-        writer.create()
-    else:
-        raise ValueError(f"unsupported mode for Iceberg bucketed write: {mode!r}")
+    verb, defines_table = v2_verb(mode)
+    writer = incidence.sortWithinPartitions(key).writeTo(table)
+    if defines_table:
+        writer = writer.using("iceberg").partitionedBy(F.bucket(buckets, key))
+    getattr(writer, verb)()
 
 
 def write_bucketed(
