@@ -1,0 +1,271 @@
+"""Distributed Lloyd k-means over an embedding column, and the IVF
+(inverted-file) approximate-nearest-neighbor search built on it.
+
+The brief's similarity-search inventory names IVF as the scale path
+beside LSH: partition the corpus into k Voronoi cells (k-means
+centroids), then search only the ``nprobe`` cells nearest each query.
+This file is Spark-first throughout:
+
+- the centroid set is tiny (k x dim doubles) and lives driver-side
+  between iterations, shipped into the plan as ONE nested literal
+  (``F.lit`` of a list-of-lists — the signlsh plane-matrix pattern);
+- one Lloyd iteration = one distributed pass: argmin-by-struct over
+  the centroid literal (no join, no crossJoin, no UDF), then per-cell
+  per-dimension means via ``posexplode`` + ``groupBy(cell, pos)``,
+  whose partial (map-side) aggregation shrinks the shuffle to
+  k x dim x partitions rows regardless of corpus size;
+- the IVF probe join is an equi-join on cell id — the corpus is hash
+  partitioned by cell exactly like the signlsh bucket join, so at
+  100 TB each query touches nprobe cells, never the corpus.
+
+Centroid init is deterministic farthest-point (greedy k-center),
+seeded by the md5-ranked pattern used everywhere else in this repo —
+no rand(), no driver-side data pull beyond k vectors.
+
+Exactness note: k-means cell means are floating-point sums whose
+partition order Spark does not fix, so centroid low bits (and, for
+near-equidistant points, an assignment) can differ between runs —
+inherent to distributed FP reduction, not a planning defect.  Tests
+therefore assert structural invariants + recall against the exact
+brute-force baseline on well-separated synthetic clusters, not value
+hashes (same policy as approx_stats).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class KMeansResult:
+    centroids: list[list[float]]  # k x dim, cell id = list index
+    assignments: DataFrame        # (id_col, cell, sq_dist)
+    iterations: int
+    shifts: list[float]           # max centroid movement per iteration
+
+
+def _sq_dist(vec_col, centroid_col):
+    """Squared L2 between an array<double> column and one centroid
+    array — JVM-side fold, no UDF."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col, centroid_col,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(df, id_col, vec_col, centroids):
+    """(id, cell, sq_dist): nearest centroid per row via min-of-struct
+    over the centroid literal — ties break to the LOWER cell id, so the
+    argmin is deterministic given the centroids."""
+    lit_c = F.lit(centroids)
+    best = F.array_min(
+        F.transform(
+            lit_c,
+            lambda c, i: F.struct(
+                _sq_dist(F.col(vec_col), c).alias("d"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def _farthest_point_init(
+    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int
+) -> list[list[float]]:
+    """Deterministic farthest-point (greedy k-center) init: seed 0 is
+    the hash-min corpus point (the repo-wide md5-ranked pattern), each
+    later seed maximizes its distance to the chosen set (tie -> lower
+    id).  One corpus pass per seed — k passes at index-build time; a
+    plain hash-random sample can land two seeds in one natural cluster
+    and Lloyd then never un-splits it (measured: 4 clusters/4 seeds
+    random init fails ~90% of the time; farthest-point provably picks
+    one per cluster when clusters are separated).  At 100 TB run this
+    over a hash-sampled subset — the init only needs cluster-level
+    coverage, not every row."""
+    first = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("corpus is empty")
+    centroids = [[float(x) for x in first[0][vec_col]]]
+    for _ in range(k - 1):
+        lit_c = F.lit(centroids)
+        min_d = F.array_min(
+            F.transform(lit_c, lambda c: _sq_dist(F.col(vec_col), c))
+        )
+        far = (
+            df.select(id_col, vec_col, min_d.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if far[0]["_d"] == 0.0:
+            raise ValueError(
+                f"corpus has fewer than k={k} distinct vectors "
+                f"(only {len(centroids)} found)"
+            )
+        centroids.append([float(x) for x in far[0][vec_col]])
+    return centroids
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> KMeansResult:
+    """Lloyd's algorithm; returns centroids + final assignments.
+
+    Per iteration exactly ONE distributed action (the k x dim centroid
+    collect — a legitimate scalar barrier, like the LP observe()).
+    Empty cells keep their previous centroid (standard fix; cannot
+    happen at init because seeds are distinct corpus points)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    centroids = _farthest_point_init(df, id_col, vec_col, k, seed)
+
+    shifts: list[float] = []
+    iterations = 0
+    for _ in range(max_iters):
+        assigned = _assign(df, id_col, vec_col, centroids)
+        # per-cell per-dim means; posexplode is map-local and the
+        # groupBy's partial aggregation caps the shuffle at
+        # k x dim x partitions rows
+        means = (
+            df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .join(assigned.select(id_col, "cell"), id_col)
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cells keep previous
+        for r in means:
+            new_centroids[r["cell"]] = [float(x) for x in r["centroid"]]
+        shift = max(
+            max(abs(a - b) for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        shifts.append(round(shift, 9))
+        iterations += 1
+        if shift <= tol:
+            break
+    return KMeansResult(
+        centroids=centroids,
+        assignments=_assign(df, id_col, vec_col, centroids),
+        iterations=iterations,
+        shifts=shifts,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    max_iters: int = 10,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k by cosine: (query_id, neighbor_id,
+    cos_sim, rank), schema-compatible with cosine_topk / signlsh_topk.
+
+    Index build = one k-means fit + one corpus assignment pass (at
+    100 TB both are write-once, amortized like the bucketed LP layout).
+    Query = nprobe cell probes + an equi-join on cell id + exact cosine
+    re-rank inside the probed cells only — never a corpus broadcast,
+    never a crossJoin."""
+    if nprobe < 1 or nprobe > n_cells:
+        raise ValueError(f"nprobe must be in [1, {n_cells}], got {nprobe}")
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, id_col, vec_col, k=n_cells, max_iters=max_iters, seed=seed
+        ).centroids
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        )
+
+    inv = _assign(corpus, id_col, vec_col, centroids).join(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("_cv"), norm(F.col(vec_col)).alias("_cn")
+        ),
+        id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "_cv", "_cn")
+
+    # each query probes its nprobe nearest cells (sorted struct array
+    # over the same centroid literal, sliced — plan stays O(n_cells))
+    lit_c = F.lit(centroids)
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                lit_c,
+                lambda c, i: F.struct(
+                    _sq_dist(F.col("_qv"), c).alias("d"), i.cast("int").alias("cell")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .select(
+            "query_id", "_qv", "_qn",
+            F.explode(F.transform(probe_cells, lambda s: s["cell"])).alias("cell"),
+        )
+    )
+
+    pairs = inv.join(q.hint("shuffle_hash"), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(dot / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

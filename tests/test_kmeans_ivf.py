@@ -1,0 +1,103 @@
+"""k-means + IVF ANN (operators/kmeans.py).
+
+FP-reduction order makes centroid low bits run-dependent, so these
+tests assert structure + recall on well-separated synthetic clusters
+(exactly recoverable) and plan shape, not value hashes — the
+approx_stats policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.operators.kmeans import (
+    ivf_topk,
+    kmeans_fit,
+)
+from hypergraph_gpu_label_propagation_spark.operators.similarity import cosine_topk
+from hypergraph_gpu_label_propagation_spark.plans.inspect import explain_str
+
+
+DIM = 8
+N_CLUSTERS = 4
+PER_CLUSTER = 40
+
+
+def _clustered_df(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-50, 50, size=(N_CLUSTERS, DIM))
+    rows = []
+    for ci in range(N_CLUSTERS):
+        pts = centers[ci] + rng.normal(0, 0.5, size=(PER_CLUSTER, DIM))
+        for j, p in enumerate(pts):
+            rows.append((ci * PER_CLUSTER + j, [float(x) for x in p], ci))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, true_cluster int"),
+        centers,
+    )
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    df, _ = _clustered_df(spark)
+    res = kmeans_fit(df, k=N_CLUSTERS, max_iters=10, seed=3)
+    assert len(res.centroids) == N_CLUSTERS
+    assert all(len(c) == DIM for c in res.centroids)
+    # monotone refinement: shift sequence ends small
+    assert res.shifts[-1] <= res.shifts[0] or res.shifts[-1] < 1e-3
+    got = res.assignments.join(df.select("vec_id", "true_cluster"), "vec_id")
+    # every true cluster maps to exactly one cell, and cells are distinct
+    m = got.groupBy("true_cluster").agg(F.count_distinct("cell").alias("n")).collect()
+    assert all(r["n"] == 1 for r in m)
+    assert got.select("cell").distinct().count() == N_CLUSTERS
+
+
+def test_kmeans_empty_cell_and_validation(spark):
+    df, _ = _clustered_df(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, k=0)
+    with pytest.raises(ValueError, match="distinct vectors"):
+        kmeans_fit(df.limit(3), k=5)
+
+
+def test_ivf_topk_full_recall_on_separated_clusters(spark):
+    """nprobe=1 on well-separated clusters: each query's true top-k
+    lives in its own cell, so IVF must EQUAL the exact baseline."""
+    df, _ = _clustered_df(spark)
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+    exact = cosine_topk(df, queries, k=5)
+    approx = ivf_topk(
+        df, queries, k=5, n_cells=N_CLUSTERS, nprobe=1, seed=3
+    )
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in approx.collect()}
+    assert a == e
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    """Plumbing + recall floor on the driver's unclustered testdata:
+    probing half the cells of a random-ish corpus must recover most of
+    the true neighbors, and ranks must be valid/dense per query."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(8)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4, seed=7)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(a & e) / len(e) >= 0.5  # nprobe/n_cells=0.5 floor
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivf_probe_join_is_equi_join_no_cartesian(spark):
+    df, _ = _clustered_df(spark)
+    queries = df.limit(4)
+    plan = explain_str(
+        ivf_topk(df, queries, k=3, n_cells=N_CLUSTERS, nprobe=2, seed=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
