@@ -652,6 +652,49 @@ def q_signlsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_topk(spark, sf_dir):
+    """The exact broadcast baseline (cosine_topk) and the bucketed
+    scale path (signlsh_topk) as ONE tagged-union driver row — same
+    (query_id, neighbor_id, cos_sim, rank) shape, `method` tag — to
+    free a board slot (driver gate caps at 50) for ivf_topk."""
+    exact = q_cosine_topk(spark, sf_dir).select(F.lit("exact").alias("method"), "*")
+    lsh = q_signlsh_topk(spark, sf_dir).select(F.lit("signlsh").alias("method"), "*")
+    return exact.unionByName(lsh)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/kmeans.py) under the driver gate, made
+    cross-engine deterministic: centroids are the embeddings of the 4
+    hash-min (h60 of vec_id, repo-wide md5 pattern) corpus vectors —
+    skipping Lloyd iterations, whose FP mean-reduction order is
+    engine-specific — and assignment/probe distances round to 6
+    decimals (round_dist) exactly like cos_sim, so the DuckDB twin
+    reproduces cell assignment, the nprobe=2 probe set, and the final
+    ranking value-for-value.  The kmeans_fit-built index (farthest-
+    point init + Lloyd) is exercised in pytest via recall against the
+    exact baseline; this row pins the IVF probe/join/re-rank plumbing."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import h60
+    from hypergraph_gpu_label_propagation_spark.operators.kmeans import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(h60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(4)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=4, nprobe=2,
+        centroids=centroids, round_dist=6,
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos_sim",
+        F.col("rank").cast("long"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup at scale: banded sign-LSH candidates (4 bands x
     8 deterministic md5 Rademacher planes) + exact cosine verify on the
@@ -1159,8 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under the 50-row gate; the operator keeps its own pytest.
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
-        "signlsh_topk": q_signlsh_topk,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
@@ -1827,6 +1870,89 @@ def _sql_graph_sampling() -> str:
     )
 
 
+_SQL_COSINE_TOPK = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "  FROM embeddings WHERE vec_id < 8), "
+    "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim "
+    "  FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM pairs) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, "
+    "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
+    "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+)
+
+# single-band sign-LSH buckets (planes 0..7), hamming-1 multiprobe
+# (bucket XOR each bit), exact re-rank on candidates
+_SQL_SIGNLSH_TOPK = (
+    "WITH planes AS MATERIALIZED ("
+    "  SELECT p.p, d.d, "
+    "    CASE WHEN ('0x' || substr(md5('p' || p.p || ':d' || d.d), 1, 15))::BIGINT "
+    "      % 2 = 0 THEN 1.0 ELSE -1.0 END AS s "
+    "  FROM (SELECT UNNEST(generate_series(0, 7)) AS p) p, "
+    "       (SELECT UNNEST(generate_series(0, 63)) AS d) d), "
+    "vex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS x, "
+    "  UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings), "
+    "buckets AS MATERIALIZED (SELECT vec_id, "
+    "  SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket FROM ("
+    "    SELECT v.vec_id, p.p, SUM(v.x * p.s) AS dot "
+    "    FROM vex v JOIN planes p USING (d) GROUP BY v.vec_id, p.p) "
+    "  GROUP BY vec_id), "
+    "qb AS (SELECT b.vec_id AS query_id, UNNEST([b.bucket, "
+    "    xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4), xor(b.bucket, 8), "
+    "    xor(b.bucket, 16), xor(b.bucket, 32), xor(b.bucket, 64), "
+    "    xor(b.bucket, 128)]) AS bucket "
+    "  FROM buckets b WHERE b.vec_id < 8), "
+    "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id "
+    "  FROM qb q JOIN buckets c USING (bucket) WHERE c.vec_id != q.query_id), "
+    "scored AS (SELECT DISTINCT c.query_id, c.neighbor_id, "
+    "  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "    b.embedding::DOUBLE[]), 6) AS cos_sim "
+    "  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id "
+    "  JOIN embeddings b ON b.vec_id = c.neighbor_id), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, "
+    "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
+    "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+)
+
+# q_ivf_topk twin: 4 hash-min centroids (same h60-of-vec_id rank,
+# cell = rank index), ROUND(sq-L2, 6) argmin assignment (tie -> lower
+# cell), nprobe=2 probe set per query by the same rounded metric,
+# exact cosine re-rank on probed cells only.
+_SQL_IVF_TOPK = (
+    "WITH cen AS MATERIALIZED ("
+    "  SELECT cell, UNNEST(v) AS c, UNNEST(generate_series(0, len(v) - 1)) AS d "
+    "  FROM (SELECT embedding::DOUBLE[] AS v, ROW_NUMBER() OVER ("
+    "    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT ASC, "
+    "    vec_id ASC) - 1 AS cell FROM embeddings) WHERE cell < 4), "
+    "vex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS x, "
+    "  UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings), "
+    "dist AS (SELECT v.vec_id, c.cell, "
+    "  ROUND(SUM((v.x - c.c) * (v.x - c.c)), 6) AS dr "
+    "  FROM vex v JOIN cen c USING (d) GROUP BY v.vec_id, c.cell), "
+    "rnk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "  ORDER BY dr ASC, cell ASC) AS rn FROM dist), "
+    "assign AS (SELECT vec_id, cell FROM rnk WHERE rn = 1), "
+    "probes AS (SELECT vec_id AS query_id, cell FROM rnk "
+    "  WHERE rn <= 2 AND vec_id < 8), "
+    "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id "
+    "  FROM probes p JOIN assign a USING (cell) WHERE a.vec_id != p.query_id), "
+    "scored AS (SELECT c.query_id, c.neighbor_id, "
+    "  ROUND(list_cosine_similarity(qa.embedding::DOUBLE[], "
+    "    nb.embedding::DOUBLE[]), 6) AS cos_sim "
+    "  FROM cand c JOIN embeddings qa ON qa.vec_id = c.query_id "
+    "  JOIN embeddings nb ON nb.vec_id = c.neighbor_id), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, "
+    "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
+    "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     markers_values = ", ".join(f"('{l}', '{w}')" for l, w in lang_markers_rows())
@@ -2157,52 +2283,12 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "WHERE a.doc_id < b.doc_id"
         ),
         "simhash": _sql_simhash(),
-        "cosine_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
-            "  FROM embeddings WHERE vec_id < 8), "
-            "pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "  ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim "
-            "  FROM q, embeddings e WHERE e.vec_id != q.query_id), "
-            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-            "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM pairs) "
-            "SELECT CAST(query_id AS BIGINT) AS query_id, "
-            "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
-            "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
+        "ann_topk": (
+            "SELECT 'exact' AS method, * FROM (" + _SQL_COSINE_TOPK + ") "
+            "UNION ALL "
+            "SELECT 'signlsh' AS method, * FROM (" + _SQL_SIGNLSH_TOPK + ")"
         ),
-        "signlsh_topk": (
-            # single-band sign-LSH buckets (planes 0..7), hamming-1
-            # multiprobe (bucket XOR each bit), exact re-rank on candidates
-            "WITH planes AS MATERIALIZED ("
-            "  SELECT p.p, d.d, "
-            "    CASE WHEN ('0x' || substr(md5('p' || p.p || ':d' || d.d), 1, 15))::BIGINT "
-            "      % 2 = 0 THEN 1.0 ELSE -1.0 END AS s "
-            "  FROM (SELECT UNNEST(generate_series(0, 7)) AS p) p, "
-            "       (SELECT UNNEST(generate_series(0, 63)) AS d) d), "
-            "vex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS x, "
-            "  UNNEST(generate_series(0, len(embedding) - 1)) AS d FROM embeddings), "
-            "buckets AS MATERIALIZED (SELECT vec_id, "
-            "  SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket FROM ("
-            "    SELECT v.vec_id, p.p, SUM(v.x * p.s) AS dot "
-            "    FROM vex v JOIN planes p USING (d) GROUP BY v.vec_id, p.p) "
-            "  GROUP BY vec_id), "
-            "qb AS (SELECT b.vec_id AS query_id, UNNEST([b.bucket, "
-            "    xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4), xor(b.bucket, 8), "
-            "    xor(b.bucket, 16), xor(b.bucket, 32), xor(b.bucket, 64), "
-            "    xor(b.bucket, 128)]) AS bucket "
-            "  FROM buckets b WHERE b.vec_id < 8), "
-            "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id "
-            "  FROM qb q JOIN buckets c USING (bucket) WHERE c.vec_id != q.query_id), "
-            "scored AS (SELECT DISTINCT c.query_id, c.neighbor_id, "
-            "  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
-            "    b.embedding::DOUBLE[]), 6) AS cos_sim "
-            "  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id "
-            "  JOIN embeddings b ON b.vec_id = c.neighbor_id), "
-            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-            "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) "
-            "SELECT CAST(query_id AS BIGINT) AS query_id, "
-            "CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim, "
-            "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5"
-        ),
+        "ivf_topk": _SQL_IVF_TOPK,
         "embedding_near_dup": (
             # same banded sign-LSH: planes from md5('p{p}:d{d}') parity
             # (plane_sign_value twin), band = p // 8, bit = p % 8

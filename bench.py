@@ -45,7 +45,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "simhash",
-    "cosine_topk",
+    "ann_topk",  # r06: was cosine_topk; now exact + signlsh union row
     "embedding_near_dup",
     "text_profile",
     "agg_pushdown",

@@ -60,16 +60,27 @@ def _sq_dist(vec_col, centroid_col):
     )
 
 
-def _assign(df, id_col, vec_col, centroids):
+def _assign(df, id_col, vec_col, centroids, round_dist=None):
     """(id, cell, sq_dist): nearest centroid per row via min-of-struct
     over the centroid literal — ties break to the LOWER cell id, so the
-    argmin is deterministic given the centroids."""
+    argmin is deterministic given the centroids.
+
+    ``round_dist`` rounds the distance BEFORE the argmin: FP summation
+    order differs between engines (Spark's sequential fold vs a SQL
+    twin's GROUP BY sum), so the cross-engine contract row rounds to a
+    shared precision exactly like cos_sim's ROUND(..., 6).  Default
+    None = full precision (the in-engine path needs no rounding)."""
     lit_c = F.lit(centroids)
+
+    def dist(c):
+        d = _sq_dist(F.col(vec_col), c)
+        return F.round(d, round_dist) if round_dist is not None else d
+
     best = F.array_min(
         F.transform(
             lit_c,
             lambda c, i: F.struct(
-                _sq_dist(F.col(vec_col), c).alias("d"),
+                dist(c).alias("d"),
                 i.cast("int").alias("cell"),
             ),
         )
@@ -195,6 +206,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     exclude_self: bool = True,
+    round_dist: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k by cosine: (query_id, neighbor_id,
     cos_sim, rank), schema-compatible with cosine_topk / signlsh_topk.
@@ -216,7 +228,7 @@ def ivf_topk(
             F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
         )
 
-    inv = _assign(corpus, id_col, vec_col, centroids).join(
+    inv = _assign(corpus, id_col, vec_col, centroids, round_dist=round_dist).join(
         corpus.select(
             F.col(id_col), F.col(vec_col).alias("_cv"), norm(F.col(vec_col)).alias("_cn")
         ),
@@ -226,12 +238,17 @@ def ivf_topk(
     # each query probes its nprobe nearest cells (sorted struct array
     # over the same centroid literal, sliced — plan stays O(n_cells))
     lit_c = F.lit(centroids)
+
+    def _probe_dist(c):
+        d = _sq_dist(F.col("_qv"), c)
+        return F.round(d, round_dist) if round_dist is not None else d
+
     probe_cells = F.slice(
         F.array_sort(
             F.transform(
                 lit_c,
                 lambda c, i: F.struct(
-                    _sq_dist(F.col("_qv"), c).alias("d"), i.cast("int").alias("cell")
+                    _probe_dist(c).alias("d"), i.cast("int").alias("cell")
                 ),
             )
         ),

@@ -101,3 +101,21 @@ def test_ivf_probe_join_is_equi_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_round_dist_matches_full_precision_when_separated(spark):
+    """round_dist (the cross-engine contract-row device: q_ivf_topk
+    rounds assignment/probe sq-L2 to 6 decimals so the DuckDB twin's
+    GROUP-BY-sum order can't flip an argmin) must be a no-op whenever
+    inter-centroid separation >> 1e-6 — i.e. it changes WHICH cell only
+    at true near-ties, never the well-separated case."""
+    df, centers = _clustered_df(spark)
+    queries = df.limit(6)
+    cents = [[float(x) for x in c] for c in centers]
+    kw = dict(k=3, n_cells=N_CLUSTERS, nprobe=2, centroids=cents)
+    full = ivf_topk(df, queries, **kw).collect()
+    rounded = ivf_topk(df, queries, round_dist=6, **kw).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
+    )
+    assert key(full) == key(rounded)
