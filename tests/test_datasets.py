@@ -20,7 +20,7 @@ from hypergraph_gpu_label_propagation_spark.sources.datasets import (
     load_pickle_dir,
 )
 
-SIMPLE_JSON = '{"num-vertices": 4, "edges": [[0, 1], [1, 2, 3]]}'
+SIMPLE_JSON = '{"num_vertices": 4, "edges": [[0, 1], [1, 2, 3]]}'
 
 
 def _make_mirror(tmp_path: Path) -> Path:
