@@ -194,14 +194,299 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px
 
 
+# JPEG zigzag scan: _JPEG_ZZ[k] = natural (row-major) index of scan
+# position k.  Generated from the diagonal-walk definition (ITU T.81
+# Figure 5) rather than transcribed — even diagonals run up-right, odd
+# run down-left.
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rs if s % 2 else reversed(rs)):
+            order.append(r * 8 + (s - r))
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+
+def _idct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis T (T @ T.T == I); spatial
+    block = T.T @ coefs @ T."""
+    n = np.arange(8)
+    t = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+_IDCT_T = _idct_basis()
+
+# per-bit Python entropy decode: cap like PNG's Paeth cap (r05 advice)
+_JPEG_MAX_PIXELS = 1 << 18  # 512 x 512
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (already
+    FF00-unstuffed).  Reads past the end yield 1-bits — the spec's
+    final-byte padding — so a trailing EOB that straddles the boundary
+    decodes; a Huffman walk that consumes >16 phantom bits errors."""
+
+    __slots__ = ("data", "pos", "end")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.end = len(data) * 8
+
+    def read_bit(self) -> int:
+        if self.pos >= self.end:
+            self.pos += 1
+            return 1
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def overran(self) -> bool:
+        return self.pos > self.end
+
+
+def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman from a DHT (BITS, HUFFVAL) pair:
+    {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code, vi = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            if br.overran() and br.pos - br.end > 16:
+                raise ValueError("JPEG entropy stream truncated")
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map a SIZE-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline-DCT JFIF JPEG with numpy + the stdlib alone:
+    marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman from the
+    stream's own DHT segments, FF00 unstuffing + RST-segmented entropy
+    decode, zigzag dequantization, matrix IDCT, sampling-factor
+    upsampling (4:4:4/4:2:2/4:2:0), JFIF YCbCr->RGB.  Returns (width,
+    height, HxWx3 uint8); grayscale replicates to 3 channels.
+
+    Progressive (SOF2) / extended / arithmetic / 12-bit streams raise
+    NotImplementedError — as does anything above ~0.26 MP, because the
+    entropy decode is per-bit Python (the Pillow plug point,
+    DecodeBackend.REAL), mirroring the PNG Paeth cap."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
+    dri = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables need an external codec"
+                    )
+                raw = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_JPEG_ZZ] = raw  # DQT bytes arrive in zigzag order
+                qt[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1 : i + 17]
+                n = sum(bits)
+                huff[(tc, th)] = _build_huffman(bits, body[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline DCT
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG decodes natively")
+            comps = [
+                (body[6 + 3 * c], body[7 + 3 * c] >> 4, body[7 + 3 * c] & 15,
+                 body[8 + 3 * c])
+                for c in range(nc)
+            ]
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}: progressive/"
+                f"extended/arithmetic) needs an external codec (Pillow plug "
+                f"point, DecodeBackend.REAL)"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            scan_tabs = {
+                body[1 + 2 * c]: (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
+                for c in range(ns)
+            }
+            return _decode_jpeg_scan(
+                data, pos + 2 + seglen, frame, qt, huff, scan_tabs, dri
+            )
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS segment")
+
+
+def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
+    h, w, comps = frame
+    if h * w > _JPEG_MAX_PIXELS:
+        raise NotImplementedError(
+            f"JPEG above {_JPEG_MAX_PIXELS} pixels ({w}x{h}) needs an "
+            f"external codec — the native entropy decode is per-bit Python "
+            f"(Pillow plug point, DecodeBackend.REAL)"
+        )
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component JPEG decodes natively")
+
+    # split entropy bytes into RST-delimited, FF00-unstuffed segments
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if any(maxh % c[1] or maxv % c[2] for c in comps):
+        raise NotImplementedError("non-integer JPEG sampling ratios")
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
+        for cid, hs, vs, _ in comps
+    }
+
+    n_mcu = mcux * mcuy
+    per_seg = dri if dri else n_mcu
+    mcu = 0
+    for seg in segments:
+        if mcu >= n_mcu:
+            break
+        br = _BitReader(seg)
+        pred = {cid: 0 for cid, *_ in comps}  # DC predictors reset per RST
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, hs, vs, tq in comps:
+                dc_t, ac_t = scan_tabs[cid]
+                dq = qt[tq]
+                for v in range(vs):
+                    for u in range(hs):
+                        coef = np.zeros(64, np.float64)
+                        s = _read_huff(br, huff[(0, dc_t)])
+                        pred[cid] += _extend(br.read_bits(s), s)
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, huff[(1, ac_t)])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            coef[_JPEG_ZZ[k]] = _extend(br.read_bits(sz), sz)
+                            k += 1
+                        block = (
+                            _IDCT_T.T @ (coef * dq).reshape(8, 8) @ _IDCT_T
+                        ) + 128.0
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + u) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+
+    # upsample to full resolution, crop padding, color-convert
+    full = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, maxv // vs, axis=0), maxh // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        px = np.clip(full[0], 0, 255).astype(np.uint8)
+        return w, h, np.repeat(px[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+    return w, h, px
+
+
 def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Route by magic bytes: BMP and PNG decode natively; anything else
-    needs an external codec."""
+    """Route by magic bytes: BMP, PNG and baseline JPEG decode
+    natively; anything else needs an external codec."""
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:8] == PNG_MAGIC:
         return _decode_png(data)
-    raise ValueError("not a BMP/PNG payload")
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
+    raise ValueError("not a BMP/PNG/JPEG payload")
 
 
 def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -398,6 +683,202 @@ def make_png(
     )
 
 
+def make_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    gray: bool = False,
+    sampling: tuple[int, int] = (1, 1),
+    restart: int = 0,
+    quant: int = 1,
+    smooth: bool = False,
+) -> bytes:
+    """A REAL baseline-DCT JPEG with deterministic content — the test
+    encoder for :func:`_decode_jpeg`.
+
+    Independence note: this encoder does NOT share entropy tables with
+    the decoder — it writes its OWN canonical Huffman tables into DHT
+    (DC symbols 0-11 at 4 bits; all 256 AC symbols at 9-10 bits), so
+    decoding exercises the stream's DHT parse, not a compiled-in
+    constant.  The forward DCT reuses ``_IDCT_T`` (orthonormal, so the
+    transpose IS the inverse); tests pin the basis against its spec
+    definition separately so an error there can't cancel out.
+
+    ``sampling`` = luma (h, v) factors; chroma is 1x1 (so (2, 2) is
+    4:2:0, (2, 1) is 4:2:2).  ``restart`` > 0 emits DRI + RSTn every
+    that many MCUs.  ``quant`` scales a flat quantization table;
+    ``smooth`` draws a low-frequency gradient instead of noise (tiny
+    reconstruction error, for tight-tolerance tests)."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        yy, xx = np.mgrid[0:height, 0:width]
+        base = (
+            96.0
+            + 64.0 * np.sin(2 * np.pi * xx / max(8, width))
+            + 48.0 * np.cos(2 * np.pi * yy / max(8, height))
+        )
+        px = np.stack(
+            [np.clip(base + 16 * c, 0, 255) for c in range(3)], axis=2
+        ).astype(np.float64)
+    else:
+        px = rng.integers(0, 256, size=(height, width, 3)).astype(np.float64)
+
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs, vs = sampling
+    if gray:
+        comps = [(1, 1, 1, 0, y)]
+    else:
+        # chroma planes: hs x vs block means of the full-res plane
+        def down(p):
+            ph = -(-height // vs) * vs
+            pw = -(-width // hs) * hs
+            pad = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+            return pad.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+
+        comps = [(1, hs, vs, 0, y), (2, 1, 1, 1, down(cb)), (3, 1, 1, 1, down(cr))]
+
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcux = -(-width // (8 * maxh))
+    mcuy = -(-height // (8 * maxv))
+
+    qt_nat = np.full(64, quant, dtype=np.int32)
+    qt_zz = qt_nat[_JPEG_ZZ].astype(np.uint8)
+
+    # canonical tables of our own design (see docstring)
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_vals = bytes(range(12))
+    ac_bits = bytes([0] * 8 + [255, 1] + [0] * 6)
+    ac_vals = bytes(range(256))
+    enc_dc = {v: k for k, v in _build_huffman(dc_bits, dc_vals).items()}
+    enc_ac = {v: k for k, v in _build_huffman(ac_bits, ac_vals).items()}
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code_len: int, code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << code_len) | (code & ((1 << code_len) - 1))
+        nbits += code_len
+        while nbits >= 8:
+            byte = (bitbuf >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    def flush() -> None:
+        nonlocal bitbuf, nbits
+        if nbits:
+            put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    def put_magnitude(v: int) -> int:
+        """Emit magnitude bits for v; return the SIZE category."""
+        size = int(abs(v)).bit_length()
+        if size:
+            put(size, v if v >= 0 else v + (1 << size) - 1)
+        return size
+
+    # plane padding to MCU grid, per comp
+    padded = {}
+    for cid, chs, cvs, _tq, plane in comps:
+        ph, pw = mcuy * cvs * 8, mcux * chs * 8
+        padded[cid] = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    pred = {c[0]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    rst_segments: list[bytes] = []
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            flush()
+            rst_segments.append(bytes(out))
+            out = bytearray()
+            pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(mcu, mcux)
+        for cid, chs, cvs, _tq, _p in comps:
+            for v in range(cvs):
+                for u in range(chs):
+                    y0, x0 = (my * cvs + v) * 8, (mx * chs + u) * 8
+                    block = padded[cid][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = _IDCT_T @ block @ _IDCT_T.T
+                    q = np.round(coef.reshape(64) / qt_nat).astype(np.int64)
+                    zz = q[_JPEG_ZZ]
+                    diff = int(zz[0]) - pred[cid]
+                    pred[cid] = int(zz[0])
+                    size = int(abs(diff)).bit_length()
+                    put(*enc_dc[size])
+                    put_magnitude(diff)
+                    k, run = 1, 0
+                    while k < 64:
+                        if zz[k] == 0:
+                            run += 1
+                        else:
+                            while run > 15:
+                                put(*enc_ac[0xF0])  # ZRL
+                                run -= 16
+                            v_ac = int(zz[k])
+                            size = abs(v_ac).bit_length()
+                            put(*enc_ac[(run << 4) | size])
+                            put_magnitude(v_ac)
+                            run = 0
+                        k += 1
+                    if run:
+                        put(*enc_ac[0x00])  # EOB
+    flush()
+    rst_segments.append(bytes(out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof_comps = b"".join(
+        struct.pack(">BBB", cid, (chs << 4) | cvs, tq)
+        for cid, chs, cvs, tq, _ in comps
+    )
+    sos_comps = b"".join(
+        struct.pack(">BB", cid, 0x00 if cid == 1 else 0x11) for c in comps
+        for cid in [c[0]]
+    )
+    dhts = seg(0xC4, b"\x00" + dc_bits + dc_vals) + seg(
+        0xC4, b"\x10" + ac_bits + ac_vals
+    )
+    dqts = seg(0xDB, b"\x00" + qt_zz.tobytes())
+    if not gray:
+        dhts += seg(0xC4, b"\x01" + dc_bits + dc_vals) + seg(
+            0xC4, b"\x11" + ac_bits + ac_vals
+        )
+        dqts += seg(0xDB, b"\x01" + qt_zz.tobytes())
+
+    scan = rst_segments[0]
+    for i, s in enumerate(rst_segments[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)]) + s
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqts
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, height, width, len(comps)) + sof_comps,
+        )
+        + dhts
+        + (seg(0xDD, struct.pack(">H", restart)) if restart else b"")
+        + seg(0xDA, bytes([len(comps)]) + sos_comps + b"\x00\x3f\x00")
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
     """A REAL 16-bit mono PCM WAV with deterministic sample content."""
     import struct
@@ -413,10 +894,14 @@ def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
     )
 
 
-def synth_real_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
-    """Asset table whose payloads are REAL decodable bytes (BMP/PNG/WAV),
-    alternating image/audio (images alternate BMP and PNG, PNGs cycle
-    gray/RGB/RGBA) — drives DecodeBackend.REAL end-to-end."""
+def synth_real_assets(
+    spark, n: int = 24, seed: int = 42, n_jpeg: int = 4
+) -> DataFrame:
+    """Asset table whose payloads are REAL decodable bytes
+    (BMP/PNG/WAV, plus ``n_jpeg`` appended baseline JPEGs cycling
+    gray/4:4:4/4:2:0/restart variants), alternating image/audio
+    (images alternate BMP and PNG, PNGs cycle gray/RGB/RGBA) — drives
+    DecodeBackend.REAL end-to-end."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
@@ -434,6 +919,18 @@ def synth_real_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 (i, "audio", {"n": str(ns), "sr": str(sr)},
                  bytearray(make_wav(ns, sr, seed + i)))
             )
+    for j in range(n_jpeg):
+        w, h = 16 + 8 * (j % 3), 16 + 8 * ((j + 1) % 3)
+        payload = make_jpeg(
+            w, h, seed=seed + n + j,
+            gray=(j % 4 == 0),
+            sampling=(2, 2) if j % 4 == 2 else (1, 1),
+            restart=2 if j % 4 == 3 else 0,
+            smooth=True,
+        )
+        rows.append(
+            (n + j, "image", {"w": str(w), "h": str(h)}, bytearray(payload))
+        )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

@@ -1,0 +1,149 @@
+"""Baseline JPEG decode (operators/multimodal.py::_decode_jpeg).
+
+The encoder (make_jpeg) writes its OWN canonical Huffman tables into
+DHT, so decode correctness exercises the stream's table parse rather
+than a shared constant; the shared DCT basis is pinned here against an
+independently-written spec formula so an encoder/decoder error in it
+cannot cancel out."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+    _IDCT_T,
+    _JPEG_ZZ,
+    _decode_image,
+    _decode_jpeg,
+    make_jpeg,
+)
+
+
+def test_idct_basis_matches_spec_formula():
+    """T[k][n] = c_k/2 * cos((2n+1) k pi / 16), c_0 = 1/sqrt(2) —
+    written out independently with math.cos; plus orthonormality, which
+    is what makes the encoder's forward transform (T @ x @ T.T) the
+    true inverse of the decoder's (T.T @ X @ T)."""
+    for k in range(8):
+        ck = 1 / math.sqrt(2) if k == 0 else 1.0
+        for n in range(8):
+            expect = ck / 2 * math.cos((2 * n + 1) * k * math.pi / 16)
+            assert abs(_IDCT_T[k, n] - expect) < 1e-12
+    assert np.allclose(_IDCT_T @ _IDCT_T.T, np.eye(8), atol=1e-12)
+    # DC-only block of value v reconstructs as the constant v/8 * ... :
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 16.0
+    assert np.allclose(_IDCT_T.T @ coef @ _IDCT_T, 2.0)
+
+
+def test_zigzag_is_the_t81_sequence():
+    """First and last entries of the scan order, transcribed from the
+    T.81 figure (independent of the generator's diagonal walk)."""
+    assert list(_JPEG_ZZ[:16]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert list(_JPEG_ZZ[-8:]) == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(_JPEG_ZZ) == list(range(64))
+
+
+def test_gray_smooth_roundtrip_tight():
+    data = make_jpeg(32, 24, seed=3, gray=True, smooth=True)
+    w, h, px = _decode_jpeg(data)
+    assert (w, h) == (32, 24) and px.shape == (24, 32, 3)
+    assert (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 0] == px[:, :, 2]).all()
+    # regenerate the luma plane the encoder built
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = 96.0 + 64.0 * np.sin(2 * np.pi * xx / 32) + 48.0 * np.cos(2 * np.pi * yy / 24)
+    rgb = np.stack([np.clip(base + 16 * c, 0, 255) for c in range(3)], axis=2)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert np.abs(px[:, :, 0].astype(float) - y).max() <= 3.0
+
+
+def test_color_444_random_roundtrip():
+    rng = np.random.default_rng(7)
+    data = make_jpeg(24, 16, seed=7)
+    w, h, px = _decode_jpeg(data)
+    assert (w, h) == (24, 16)
+    src = rng.integers(0, 256, size=(16, 24, 3)).astype(np.float64)
+    err = np.abs(px.astype(np.float64) - src)
+    # flat quant=1 tables: error is DCT/color rounding only
+    assert err.max() <= 12 and err.mean() <= 2.0
+
+
+def test_color_420_smooth_roundtrip():
+    data = make_jpeg(32, 32, seed=5, sampling=(2, 2), smooth=True)
+    w, h, px = _decode_jpeg(data)
+    assert (w, h) == (32, 32)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = 96.0 + 64.0 * np.sin(2 * np.pi * xx / 32) + 48.0 * np.cos(2 * np.pi * yy / 32)
+    src = np.stack([np.clip(base + 16 * c, 0, 255) for c in range(3)], axis=2)
+    # smooth gradient has constant chroma -> subsampling loses ~nothing
+    assert np.abs(px.astype(np.float64) - src).max() <= 4.0
+
+
+def test_422_and_nonaligned_dims():
+    """4:2:2 + dimensions that aren't MCU multiples (pad + crop)."""
+    data = make_jpeg(21, 13, seed=11, sampling=(2, 1), smooth=True)
+    w, h, px = _decode_jpeg(data)
+    assert (w, h, px.shape) == (21, 13, (13, 21, 3))
+
+
+def test_restart_markers_decode_identically():
+    plain = _decode_jpeg(make_jpeg(24, 24, seed=9, smooth=True))[2]
+    rst = _decode_jpeg(make_jpeg(24, 24, seed=9, smooth=True, restart=2))[2]
+    assert (plain == rst).all()
+
+
+def test_byte_stuffing_path_is_exercised():
+    hits = 0
+    for seed in range(8):
+        data = make_jpeg(24, 24, seed=seed)
+        scan = data[data.find(b"\xff\xda") :]
+        hits += scan.count(b"\xff\x00")
+        _decode_jpeg(data)  # every stream decodes
+    assert hits > 0  # stuffed bytes actually occurred and were handled
+
+
+def test_progressive_and_oversize_and_truncation_rejected():
+    good = bytearray(make_jpeg(16, 16, seed=1))
+    # SOF0 -> SOF2 (progressive)
+    sof = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        _decode_jpeg(bytes(prog))
+    # patch SOF dims beyond the pixel cap (per-bit Python decode)
+    big = bytearray(good)
+    big[sof + 5 : sof + 9] = (1024).to_bytes(2, "big") + (1024).to_bytes(2, "big")
+    with pytest.raises(NotImplementedError, match="external codec"):
+        _decode_jpeg(bytes(big))
+    # truncated entropy stream: >16 phantom bits -> error, not garbage
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(good[: len(good) // 2]))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"nope")
+
+
+def test_decode_image_routes_jpeg():
+    w, h, px = _decode_image(make_jpeg(16, 8, seed=2, smooth=True))
+    assert (w, h) == (16, 8) and px.shape == (8, 16, 3)
+
+
+def test_real_assets_pipeline_includes_jpeg(spark):
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        DecodeBackend,
+        decode_assets,
+        synth_real_assets,
+    )
+
+    assets = synth_real_assets(spark, n=8, n_jpeg=4)
+    raw = {r["asset_id"]: bytes(r["data"]) for r in assets.collect()}
+    jpeg_ids = {a for a, d in raw.items() if d[:2] == b"\xff\xd8"}
+    assert len(jpeg_ids) == 4
+    dec = decode_assets(assets, backend=DecodeBackend.REAL)
+    got = {r["asset_id"]: (r["width"], r["height"]) for r in dec.collect()
+           if r["asset_id"] in jpeg_ids}
+    for j, aid in enumerate(sorted(jpeg_ids)):
+        jj = j  # appended ids are n..n+3 in order
+        assert got[aid] == (16 + 8 * (jj % 3), 16 + 8 * ((jj + 1) % 3))

@@ -235,11 +235,11 @@ def test_multimodal_real_decode_bmp_wav(spark):
         synth_real_assets,
     )
 
-    assets = synth_real_assets(spark, n=24)
+    assets = synth_real_assets(spark, n=24)  # +4 appended baseline JPEGs
     dec = decode_assets(assets, backend=DecodeBackend.REAL)
     rows = {r["asset_id"]: r for r in dec.collect()}
     meta = {r["asset_id"]: r["meta"] for r in assets.select("asset_id", "meta").collect()}
-    assert len(rows) == 24
+    assert len(rows) == 28
     for aid, r in rows.items():
         m = meta[aid]
         if r["kind"] == "image":
