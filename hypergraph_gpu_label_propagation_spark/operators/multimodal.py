@@ -6,12 +6,16 @@ feature extraction run Arrow-batched behind ``DecodeBackend``:
 - ``DecodeBackend.REAL`` performs genuine byte-level decoding for the
   formats decodable with numpy + the stdlib alone — uncompressed BMP
   images (BITMAPINFOHEADER parse + pixel array), 8-bit non-interlaced
-  PNG (chunk walk + zlib inflate + scanline unfilter incl. Paeth), and
-  PCM WAV audio (RIFF chunk walk + sample array).  Formats that need an
-  external codec (JPEG/MP4/16-bit-or-interlaced PNG/...) raise
-  NotImplementedError at the decode call site — swap in
-  Pillow/torchaudio/PyAV there on a real cluster (this container ships
-  none of them).
+  PNG (chunk walk + zlib inflate + scanline unfilter incl. Paeth),
+  baseline-DCT JPEG (Huffman entropy decode + dequant + IDCT, size-
+  capped), PCM WAV audio (RIFF chunk walk + sample array), and MP4
+  container metadata (ISO BMFF box walk: tkhd dims, stsz/stts frame
+  count, mvhd duration — everything ``decode_assets`` reports needs no
+  codec).  What still raises NotImplementedError at the decode call
+  site: video FRAME decode / video features (mdat is codec bitstream),
+  progressive/12-bit JPEG, 16-bit/interlaced/palette PNG, oversize
+  Average-Paeth PNG and >0.26 MP JPEG — swap in Pillow/torchaudio/PyAV
+  there on a real cluster (this container ships none of them).
 - ``DecodeBackend.FAKE`` (default for the oracle contract query)
   produces deterministic metadata/features derived from sha256(data),
   so the distributed pipeline (mapInPandas batching, schema evolution,
@@ -520,6 +524,112 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return sr, ch, len(samples) // ch, samples
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield ``(box_type, body_start, body_end)`` for the ISO BMFF boxes
+    in ``data[start:end]`` (ISO/IEC 14496-12 §4.2): 32-bit size, size==1
+    -> 64-bit largesize follows the type, size==0 -> box runs to the end
+    of the enclosing container."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("MP4 largesize box truncated")
+            (large,) = struct.unpack_from(">Q", data, body)
+            body += 8
+            box_end = pos + large
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < body or box_end > end:
+            raise ValueError(f"MP4 box {btype!r} overruns its container")
+        yield btype, body, box_end
+        pos = box_end
+
+
+def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _parse_mp4(data: bytes) -> tuple[int, int, int, float]:
+    """Parse video metadata — (width, height, n_frames, duration_ms) —
+    from an MP4/ISO-BMFF container with ``struct`` alone.  Everything
+    :func:`decode_assets` reports lives in the ``moov`` metadata tree
+    (tkhd 16.16 track dimensions, stsz sample count cross-checked
+    against the stts delta table, mvhd duration/timescale), so no codec
+    is involved; decoding the FRAMES (mdat payload, H.264 etc.) is the
+    external-codec plug point, not this.  Fragmented MP4 (moof) and
+    files whose first video trak is codec-described-only raise."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4/ISO-BMFF payload (missing ftyp)")
+    moov = _mp4_find(data, 0, len(data), b"moov")
+    if moov is None:
+        if _mp4_find(data, 0, len(data), b"moof") is not None:
+            raise NotImplementedError(
+                "fragmented MP4 (moof) needs an external demuxer"
+            )
+        raise ValueError("MP4 missing moov box")
+    mvhd = _mp4_find(data, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 moov missing mvhd")
+    ver = data[mvhd[0]]
+    if ver == 1:
+        (timescale,) = struct.unpack_from(">I", data, mvhd[0] + 20)
+        (duration,) = struct.unpack_from(">Q", data, mvhd[0] + 24)
+    else:
+        timescale, duration = struct.unpack_from(">II", data, mvhd[0] + 12)
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+
+    for t, b, e in _mp4_boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(data, b, e, b"tkhd")
+        if tkhd is None:
+            raise ValueError("MP4 video trak missing tkhd")
+        tver = data[tkhd[0]]
+        # width/height are 16.16 fixed point, last 8 bytes of the body
+        dim_off = tkhd[0] + (88 if tver == 1 else 76)
+        wfix, hfix = struct.unpack_from(">II", data, dim_off)
+        width, height = wfix >> 16, hfix >> 16
+        minf = _mp4_find(data, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(data, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise ValueError("MP4 video trak missing minf/stbl")
+        stsz = _mp4_find(data, stbl[0], stbl[1], b"stsz")
+        stts = _mp4_find(data, stbl[0], stbl[1], b"stts")
+        if stsz is None or stts is None:
+            raise ValueError("MP4 video trak missing stsz/stts")
+        (n_frames,) = struct.unpack_from(">I", data, stsz[0] + 8)
+        (n_stts,) = struct.unpack_from(">I", data, stts[0] + 4)
+        stts_total = sum(
+            struct.unpack_from(">I", data, stts[0] + 8 + 8 * i)[0]
+            for i in range(n_stts)
+        )
+        if stts_total != n_frames:
+            raise ValueError(
+                f"MP4 stts sample total {stts_total} != stsz count {n_frames}"
+            )
+        return width, height, n_frames, round(1000.0 * duration / timescale, 2)
+    raise ValueError("MP4 has no video trak")
+
+
 def _real_decode_row(kind: str, data: bytes) -> tuple[int, int, int, int, float]:
     if kind == "image":
         w, h, _ = _decode_image(data)
@@ -527,10 +637,13 @@ def _real_decode_row(kind: str, data: bytes) -> tuple[int, int, int, int, float]
     if kind == "audio":
         sr, _ch, n, _ = _decode_wav(data)
         return 0, 0, n, sr, round(1000.0 * n / sr, 2)
+    if kind == "video":
+        w, h, n, dur_ms = _parse_mp4(data)
+        return w, h, n, 0, dur_ms
     raise NotImplementedError(
         f"real decode of kind={kind!r} requires an external codec "
-        "(PyAV/torchaudio) — plug it in here; BMP/PNG images and PCM WAV "
-        "audio decode natively"
+        "(PyAV/torchaudio) — plug it in here; BMP/PNG/JPEG images, PCM "
+        "WAV audio and MP4 container metadata decode natively"
     )
 
 
@@ -894,12 +1007,119 @@ def make_wav(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
     )
 
 
+def make_mp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = 30,
+    seed: int = 0,
+    v1: bool = False,
+    media_timescale: int = 90000,
+) -> bytes:
+    """A REAL (spec-valid, losslessly re-parseable) MP4/ISO-BMFF
+    container with deterministic pseudo-frame payloads — the test
+    source for :func:`_parse_mp4`.
+
+    Layout: ``ftyp`` + ``mdat`` (one chunk of per-frame noise bytes,
+    varying sizes) + ``moov`` (mvhd / trak[tkhd 16.16 dims, mdia[mdhd,
+    hdlr 'vide', minf[vmhd, dinf/dref, stbl[stsd 'mp4v', stts one-run
+    delta table, stsc, stsz per-frame sizes, stco]]]]).  ``v1`` writes
+    version-1 mvhd/tkhd (64-bit times) so the parser's offset math for
+    both box versions stays covered.  The mdat bytes are NOT valid
+    codec bitstream — frame decode is exactly the external-codec plug
+    point — but every byte of box structure is real."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    sizes = [40 + int((7 * i + seed) % 32) for i in range(n_frames)]
+    mdat_payload = rng.integers(0, 256, size=sum(sizes), dtype=np.uint8).tobytes()
+    mdat = box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # first frame byte, file-absolute (stco)
+
+    movie_ts = 1000
+    movie_dur = (n_frames * movie_ts) // fps
+    media_dur = (n_frames * media_timescale) // fps
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    if v1:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3xQQIQ", 1, 0, 0, movie_ts, movie_dur)
+            + struct.pack(">IHH8x", 0x10000, 0x0100, 0)
+            + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3BQQI4xQ", 1, 0, 0, 7, 0, 0, 1, movie_dur)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + matrix + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">B3xQQIQHH", 1, 0, 0, media_timescale, media_dur, 0x55C4, 0),
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3xIIII", 0, 0, 0, movie_ts, movie_dur)
+            + struct.pack(">IHH8x", 0x10000, 0x0100, 0)
+            + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3BIII4xI", 0, 0, 0, 7, 0, 0, 1, movie_dur)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + matrix + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">B3xIIIIHH", 0, 0, 0, media_timescale, media_dur, 0x55C4, 0),
+        )
+
+    hdlr = box(b"hdlr", struct.pack(">I4x", 0) + b"vide" + b"\x00" * 12 + b"video\x00")
+    vmhd = box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+    dref = box(b"dref", struct.pack(">II", 0, 1) + box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+    dinf = box(b"dinf", dref)
+    sample_entry = box(
+        b"mp4v",
+        b"\x00" * 6 + struct.pack(">H", 1)          # data-reference index
+        + struct.pack(">HH12x", 0, 0)               # predefined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)  # 72dpi, 1 frame/sample
+        + b"\x00" * 32                              # compressor name
+        + struct.pack(">Hh", 24, -1),               # depth, predefined
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
+    stts = box(
+        b"stts",
+        struct.pack(">III I", 0, 1, n_frames, media_timescale // fps),
+    )
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n_frames, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_frames) + struct.pack(f">{n_frames}I", *sizes),
+    )
+    stco = box(b"stco", struct.pack(">III", 0, 1, chunk_offset))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def synth_real_assets(
-    spark, n: int = 24, seed: int = 42, n_jpeg: int = 4
+    spark, n: int = 24, seed: int = 42, n_jpeg: int = 4, n_mp4: int = 4
 ) -> DataFrame:
     """Asset table whose payloads are REAL decodable bytes
     (BMP/PNG/WAV, plus ``n_jpeg`` appended baseline JPEGs cycling
-    gray/4:4:4/4:2:0/restart variants), alternating image/audio
+    gray/4:4:4/4:2:0/restart variants and ``n_mp4`` appended MP4
+    containers alternating box versions 0/1), alternating image/audio
     (images alternate BMP and PNG, PNGs cycle gray/RGB/RGBA) — drives
     DecodeBackend.REAL end-to-end."""
     rows = []
@@ -930,6 +1150,15 @@ def synth_real_assets(
         )
         rows.append(
             (n + j, "image", {"w": str(w), "h": str(h)}, bytearray(payload))
+        )
+    for j in range(n_mp4):
+        w, h, nf, fps = 64 + 16 * j, 48 + 16 * j, 24 + 12 * j, (24, 30)[j % 2]
+        payload = make_mp4(w, h, nf, fps=fps, seed=seed + n + n_jpeg + j,
+                           v1=(j % 2 == 1))
+        rows.append(
+            (n + n_jpeg + j, "video",
+             {"w": str(w), "h": str(h), "n": str(nf), "fps": str(fps)},
+             bytearray(payload))
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 

@@ -235,28 +235,49 @@ def test_multimodal_real_decode_bmp_wav(spark):
         synth_real_assets,
     )
 
-    assets = synth_real_assets(spark, n=24)  # +4 appended baseline JPEGs
+    # +4 appended baseline JPEGs, +4 MP4 videos (container metadata)
+    assets = synth_real_assets(spark, n=24)
     dec = decode_assets(assets, backend=DecodeBackend.REAL)
     rows = {r["asset_id"]: r for r in dec.collect()}
     meta = {r["asset_id"]: r["meta"] for r in assets.select("asset_id", "meta").collect()}
-    assert len(rows) == 28
+    assert len(rows) == 32
+    assert sum(r["kind"] == "video" for r in rows.values()) == 4
     for aid, r in rows.items():
         m = meta[aid]
         if r["kind"] == "image":
             assert (r["width"], r["height"]) == (int(m["w"]), int(m["h"]))
             assert r["n_frames"] == 1 and r["sample_rate"] == 0
-        else:
+        elif r["kind"] == "audio":
             assert r["n_frames"] == int(m["n"]) and r["sample_rate"] == int(m["sr"])
             assert abs(r["duration_ms"] - 1000.0 * int(m["n"]) / int(m["sr"])) < 0.01
-    feats = extract_features(assets, backend=DecodeBackend.REAL).collect()
+        else:  # video: MP4 box metadata, no codec involved
+            assert (r["width"], r["height"]) == (int(m["w"]), int(m["h"]))
+            assert r["n_frames"] == int(m["n"]) and r["sample_rate"] == 0
+            assert r["duration_ms"] == (int(m["n"]) * 1000) // int(m["fps"])
+    # video FEATURES need frame decode (codec) — excluded from REAL
+    feats = extract_features(
+        assets.filter("kind != 'video'"), backend=DecodeBackend.REAL
+    ).collect()
+    assert len(feats) == 28
     assert all(len(r["feature"]) == 16 for r in feats)
     assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+    # the frame-sample plan is now drivable end-to-end from REAL decode
+    plan = frame_sample_plan(dec, every_n=10)
+    got = {
+        (r["asset_id"], r["frame_idx"]) for r in plan.collect()
+    }
+    expect = {
+        (aid, fi)
+        for aid, r in rows.items() if r["kind"] == "video"
+        for fi in range(0, r["n_frames"], 10)
+    }
+    assert got == expect
 
 
 def test_multimodal_real_backend_rejects_undecodable(spark):
     # non-BMP/WAV bytes and codec-requiring kinds fail loudly, not softly
     assets = synth_assets(spark, n=3)  # payloads are sha256 noise
-    with pytest.raises(Exception, match="NotImplementedError|not a BMP|not a WAV"):
+    with pytest.raises(Exception, match="NotImplementedError|not a BMP|not a WAV|not an MP4"):
         decode_assets(assets, backend=DecodeBackend.REAL).collect()
 
 
@@ -629,5 +650,7 @@ def test_real_decode_assets_include_png(spark):
         if r["asset_id"] in png_ids:
             m = meta[r["asset_id"]]
             assert (r["width"], r["height"]) == (int(m["w"]), int(m["h"]))
-    feats = extract_features(assets, backend=DecodeBackend.REAL).collect()
+    feats = extract_features(
+        assets.filter("kind != 'video'"), backend=DecodeBackend.REAL
+    ).collect()
     assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
