@@ -75,6 +75,31 @@ def _fake_decode_row(kind: str, data: bytes) -> tuple[int, int, int, int, float]
     return w, hgt, frames, sr, dur
 
 
+def _codec_guard(fn):
+    """Decoder-boundary error contract: malformed/truncated payloads
+    raise ValueError (or NotImplementedError for real-but-unsupported
+    features) — never struct.error/IndexError/zlib.error.  A corrupt
+    asset in a 100 TB ingest must be catchable by the documented types
+    in the mapInPandas wrapper, not crash the task with whatever the
+    byte-level parse happened to trip over (found by tests/
+    test_decode_fuzz.py truncation/corruption sweeps)."""
+    import functools
+    import struct
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except (struct.error, IndexError, zlib.error) as exc:
+            raise ValueError(
+                f"{fn.__name__}: truncated or corrupt payload ({exc})"
+            ) from exc
+
+    return wrapped
+
+
+@_codec_guard
 def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     """Parse an uncompressed 24bpp BMP: (width, height, HxWx3 uint8
     pixel array).  BITMAPFILEHEADER ('BM', pixel offset at byte 10) +
@@ -105,6 +130,7 @@ def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+@_codec_guard
 def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG with the stdlib
     alone (r04 verdict #6): chunk walk (IHDR/IDAT/IEND + CRC layout),
@@ -294,6 +320,7 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_codec_guard
 def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a baseline-DCT JFIF JPEG with numpy + the stdlib alone:
     marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman from the
@@ -493,6 +520,7 @@ def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("not a BMP/PNG/JPEG payload")
 
 
+@_codec_guard
 def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Walk RIFF/WAVE chunks: (sample_rate, channels, n_samples, int16
     sample array).  Only PCM (format tag 1), 16-bit."""
@@ -559,6 +587,7 @@ def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+@_codec_guard
 def _parse_mp4(data: bytes) -> tuple[int, int, int, float]:
     """Parse video metadata — (width, height, n_frames, duration_ms) —
     from an MP4/ISO-BMFF container with ``struct`` alone.  Everything

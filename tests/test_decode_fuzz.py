@@ -1,0 +1,87 @@
+"""Decoder robustness fuzz: every REAL byte-level decoder must reject
+malformed input with ValueError/NotImplementedError — never hang,
+never allocate from unvalidated header fields, never crash with an
+unrelated exception type.
+
+Deterministic corpora (seeded PRNG), pure Python — no Spark session.
+Three classes per format: random noise with the right magic prefix,
+progressive truncations of a valid payload, and single-byte
+corruptions of a valid payload.
+"""
+
+import numpy as np
+import pytest
+
+from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_jpeg,
+    _decode_png,
+    _decode_wav,
+    _parse_mp4,
+    make_bmp,
+    make_jpeg,
+    make_mp4,
+    make_png,
+    make_wav,
+)
+
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _must_reject_or_decode(decoder, payload):
+    """Malformed input either raises one of the documented error types
+    or (for single-byte corruptions that hit don't-care bytes) still
+    decodes — anything else (TypeError, struct.error, IndexError,
+    OverflowError, MemoryError, hang) is a bug."""
+    try:
+        decoder(payload)
+    except OK_ERRORS:
+        pass
+
+
+CASES = [
+    ("bmp", _decode_bmp, lambda: make_bmp(12, 9, seed=1), b"BM"),
+    ("png", _decode_png, lambda: make_png(12, 9, seed=1, color_type=2), None),
+    ("jpeg", _decode_jpeg, lambda: make_jpeg(16, 16, seed=1), b"\xff\xd8"),
+    ("wav", _decode_wav, lambda: make_wav(500, 8000, seed=1), b"RIFF"),
+    ("mp4", _parse_mp4, lambda: make_mp4(32, 24, 10, seed=1), None),
+]
+
+
+@pytest.mark.parametrize("name,decoder,make,magic", CASES, ids=[c[0] for c in CASES])
+def test_magic_prefixed_noise_rejected(name, decoder, make, magic):
+    rng = np.random.default_rng(7)
+    prefix = magic if magic is not None else bytes(make()[:8])
+    for _ in range(40):
+        noise = prefix + rng.integers(0, 256, size=200, dtype=np.uint8).tobytes()
+        _must_reject_or_decode(decoder, noise)
+
+
+@pytest.mark.parametrize("name,decoder,make,magic", CASES, ids=[c[0] for c in CASES])
+def test_truncations_never_crash(name, decoder, make, magic):
+    valid = make()
+    # every prefix length in a coarse sweep + the final 32 byte-by-byte
+    cuts = list(range(0, len(valid), max(1, len(valid) // 64)))
+    cuts += list(range(max(0, len(valid) - 32), len(valid)))
+    for cut in cuts:
+        _must_reject_or_decode(decoder, valid[:cut])
+
+
+@pytest.mark.parametrize("name,decoder,make,magic", CASES, ids=[c[0] for c in CASES])
+def test_single_byte_corruptions_never_crash(name, decoder, make, magic):
+    valid = bytearray(make())
+    rng = np.random.default_rng(13)
+    for _ in range(120):
+        pos = int(rng.integers(0, len(valid)))
+        old = valid[pos]
+        valid[pos] = int(rng.integers(0, 256))
+        _must_reject_or_decode(_wrap_size_guard(decoder), bytes(valid))
+        valid[pos] = old
+
+
+def _wrap_size_guard(decoder):
+    """Corrupting a dimension byte can legally produce a huge-but-valid
+    header that the decoder rejects via its own size cap — that's fine;
+    what we guard against is unbounded work/allocation, which the caps
+    and length checks turn into OK_ERRORS before any big alloc."""
+    return decoder
