@@ -254,6 +254,13 @@ def coreness(
             state = snap.select("u", "c").localCheckpoint(eager=True)
             resumed_changed = snap.filter(F.col("_ch") == 1).select("u")
     if state is None:
+        # int32 state invariant: c <= max clique-expansion degree, so
+        # int is exact while every single vertex has < 2^31 neighbors
+        # (a 2^31-degree vertex means 2^31 adjacency rows on ONE key —
+        # the max_edge_size cap and skew guards break long before the
+        # cast does).  All COUNTS over vertices stay long (init_cap
+        # below, r05 advice); only per-vertex degree-bounded values
+        # ride as int.
         deg = adj.groupBy("u").agg(F.count("*").cast("int").alias("c"))
         if init_cap:
             hist = deg.groupBy("c").agg(F.count("*").alias("_n"))

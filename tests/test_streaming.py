@@ -364,3 +364,97 @@ def test_incremental_state_atomic_swap_and_corruption_guard(spark, tmp_path):
     with pytest.raises(Exception, match="_SUCCESS"):
         run_incremental_cc(spark, str(stream_dir) + "/*", bad)
     shutil.rmtree(bad)
+
+
+def test_incremental_pagerank_allclose_cold_run(spark, tmp_path):
+    """Incremental PageRank warm-starts from the previous ranks; the
+    PageRank map contracts in L1 to a UNIQUE fixed point, so the warm
+    result must match a cold run of the grown graph within the
+    tol-driven error bound (north rule: allclose 1e-6) — and converge
+    in fewer iterations than the cold run."""
+    import numpy as np
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        hypergraph_pagerank,
+    )
+    from hypergraph_gpu_label_propagation_spark.streaming.lp_stream import (
+        run_incremental_pagerank,
+    )
+
+    stream_dir = tmp_path / "pr_stream"
+    stream_dir.mkdir()
+    # batch 1: a 300-vertex chain of 3-member edges + a hub edge — big
+    # enough that batch 2 is a SMALL relative perturbation (on a toy
+    # graph the fixed point itself moves by a large L1 fraction and the
+    # warm head start is spent on slow eigenmodes; see the operator
+    # docstring)
+    b1 = [(e, 2 * e + d) for e in range(150) for d in (0, 1, 2)]
+    b1 += [(900, v) for v in (0, 60, 120, 180)]
+    # batch 2: one bridging edge + one edge with brand-new vertices
+    b2 = [(5000, 7), (5000, 161), (5001, 900), (5001, 901), (5001, 7)]
+    spark.createDataFrame(sorted(set(b1)), "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b1"))
+    state = str(tmp_path / "pr_state")
+    run_incremental_pagerank(spark, str(stream_dir) + "/*", state, tol=1e-9)
+
+    spark.createDataFrame(b2, "edge_id long, vertex_id long").coalesce(
+        1
+    ).write.parquet(str(stream_dir / "b2"))
+    r2 = run_incremental_pagerank(spark, str(stream_dir) + "/*", state, tol=1e-9)
+    assert r2.num_batches == 1  # stream checkpoint: only b2 re-delivered
+
+    full = spark.createDataFrame(
+        sorted(set(b1) | set(b2)), "edge_id long, vertex_id long"
+    )
+    hg = Hypergraph.freeze(spark, full)
+    cold_res = hypergraph_pagerank(hg, tol=1e-9)
+    # THE contract: unique fixed point -> warm lands on the cold ranks
+    cold = {r["vertex_id"]: r["rank"] for r in cold_res.ranks.collect()}
+    warm = {r["vertex_id"]: r["rank"] for r in r2.labels.collect()}
+    assert set(cold) == set(warm)
+    ids = sorted(cold)
+    assert np.allclose(
+        [warm[i] for i in ids], [cold[i] for i in ids], atol=1e-6, rtol=0
+    )
+    # both are probability vectors
+    assert abs(sum(warm.values()) - 1.0) < 1e-9
+    hg.unpersist()
+
+
+def test_pagerank_warm_start_head_start_and_uniqueness(spark):
+    """The guaranteed part of a PageRank warm start: the initial L1
+    delta equals the perturbation's size (orders below a cold start's),
+    and the destination is the same unique fixed point.  Iteration
+    count is deliberately NOT asserted — the perturbation error lives
+    disproportionately in slow eigenmodes, so warm can take as many
+    tail iterations as cold (see operator docstring)."""
+    import numpy as np
+
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.pagerank import (
+        hypergraph_pagerank,
+    )
+
+    b1 = [(e, 2 * e + d) for e in range(150) for d in (0, 1, 2)]
+    b1 += [(900, v) for v in (0, 60, 120, 180)]
+    old = spark.createDataFrame(sorted(set(b1)), "edge_id long, vertex_id long")
+    full = spark.createDataFrame(
+        sorted(set(b1) | {(5000, 7), (5000, 161)}),
+        "edge_id long, vertex_id long",
+    )
+    hg_old = Hypergraph.freeze(spark, old)
+    r_old = hypergraph_pagerank(hg_old, tol=1e-9)
+    hg = Hypergraph.freeze(spark, full)
+    cold = hypergraph_pagerank(hg, tol=1e-9)
+    warm = hypergraph_pagerank(hg, tol=1e-9, initial_ranks=r_old.ranks)
+    # head start: initial delta is the perturbation's size, far below
+    # the cold uniform start's distance-to-fixed-point
+    assert warm.deltas[0] < cold.deltas[0] / 10
+    c = {r["vertex_id"]: r["rank"] for r in cold.ranks.collect()}
+    w = {r["vertex_id"]: r["rank"] for r in warm.ranks.collect()}
+    ids = sorted(c)
+    assert np.allclose([w[i] for i in ids], [c[i] for i in ids], atol=1e-6, rtol=0)
+    hg_old.unpersist()
+    hg.unpersist()
