@@ -231,8 +231,13 @@ def main() -> None:
     # sf0.1 min-of-reps (labeled as such: regime-mixed, good for
     # catching order-of-magnitude superlinearity, not for fine deltas).
     sf1_section = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and sf != "1":
-        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_synth")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_synth")
+    # skip the gate when the main board ALREADY ran at the sf1 staging
+    # dir (path compare, not the 'sf' suffix parse — '/tmp/sf1_synth'
+    # parses as sf='1_synth' and a string check would re-run the gate
+    # against itself, emitting fake ~1x ratios; r06 code review)
+    already_sf1 = os.path.realpath(sf_dir) == os.path.realpath(sf1_dir) or sf == "1"
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0" and not already_sf1:
         try:
             if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
                 from tools.make_sf1 import synthesize

@@ -72,7 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "write amortizes inside one convergence run "
                         "(sources/bucketed.py::should_bucket; at sf1 the "
                         "bucketed loop wins 2.2x and scales 2.3x vs 6.2x "
-                        "per 10x data)")
+                        "per 10x data). requires --salt 1: salted "
+                        "layouts use the in-session freeze (warned on "
+                        "stderr if combined)")
     p.add_argument("--salt", type=int, default=1,
                    help="skew salt: freeze (key,_salt) layouts and spread "
                         "hot hyperedges/vertices over N partitions "
@@ -131,6 +133,16 @@ def make_hypergraph(spark, args):
     # exchange-free on the incidence side (sf1: 2.2x faster, scales
     # 2.3x vs 6.2x per 10x data).  Salted layouts keep the in-session
     # freeze (the bucketed tables are unsalted by construction).
+    if getattr(args, "bucketed", "off") == "on" and args.salt != 1:
+        # say it, don't silently fall back — a user FORCING --bucketed on
+        # with --salt N would otherwise believe the bucketed layout ran
+        # (auto + salt stays quiet: salted freeze is the intended path)
+        print(
+            f"# --bucketed {args.bucketed} ignored: salted layouts "
+            f"(--salt {args.salt}) use the in-session freeze (the "
+            f"durable bucketed tables are unsalted by construction)",
+            file=sys.stderr,
+        )
     if getattr(args, "bucketed", "off") != "off" and args.salt == 1:
         from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
             freeze_from_bucketed,

@@ -393,7 +393,9 @@ def coreness(
                 return halves[0].unionByName(halves[1])
 
             if gauss_seidel:
-                for j in range(fused_steps):
+                # honor the pruned-round fusing lever here too (it was
+                # silently fused_steps regardless; r06 code review)
+                for j in range(fused_steps_pruned if pruned else fused_steps):
                     cur = gs_sweep(
                         scope if j == 0 else adj, cur, pruned and j == 0
                     )

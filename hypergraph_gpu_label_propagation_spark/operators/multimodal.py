@@ -91,9 +91,13 @@ def _codec_guard(fn):
     def wrapped(data: bytes, *a, **kw):
         try:
             return fn(data, *a, **kw)
-        except (struct.error, IndexError, zlib.error) as exc:
+        except (struct.error, IndexError, zlib.error, KeyError,
+                ZeroDivisionError) as exc:
+            # KeyError/ZeroDivisionError are the safety net for corrupt
+            # cross-references the targeted checks miss; the checks stay
+            # because their messages say WHAT is corrupt
             raise ValueError(
-                f"{fn.__name__}: truncated or corrupt payload ({exc})"
+                f"{fn.__name__}: truncated or corrupt payload ({exc!r})"
             ) from exc
 
     return wrapped
@@ -416,6 +420,24 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
         )
     if len(comps) not in (1, 3):
         raise NotImplementedError("only 1- or 3-component JPEG decodes natively")
+    # cross-segment reference validation up front: corrupt streams must
+    # fail the documented ValueError contract, not KeyError deep in the
+    # MCU loop / ZeroDivisionError in the ratio math (code-review fuzz
+    # follow-up — ~1% of single-byte corruptions hit these)
+    for cid, hs, vs, tq in comps:
+        if hs < 1 or vs < 1:
+            raise ValueError(f"JPEG component {cid} declares sampling factor 0")
+        if tq not in qt:
+            raise ValueError(
+                f"JPEG component {cid} references undefined quant table {tq}"
+            )
+        if cid not in scan_tabs:
+            raise ValueError(f"JPEG SOS omits frame component {cid}")
+        dc_t, ac_t = scan_tabs[cid]
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            raise ValueError(
+                f"JPEG SOS references undefined Huffman tables ({dc_t},{ac_t})"
+            )
 
     # split entropy bytes into RST-delimited, FF00-unstuffed segments
     segments: list[bytes] = []
@@ -498,7 +520,9 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
         p = np.repeat(np.repeat(p, maxv // vs, axis=0), maxh // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        px = np.clip(full[0], 0, 255).astype(np.uint8)
+        # round like the color path — plain astype truncates and would
+        # bias gray output ~0.5 LSB low vs reference decoders
+        px = np.clip(full[0], 0, 255).round().astype(np.uint8)
         return w, h, np.repeat(px[:, :, None], 3, axis=2)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
@@ -542,6 +566,10 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 )
             if ch < 1:
                 raise ValueError(f"WAV fmt chunk declares channels={ch}")
+            if sr < 1:
+                # duration_ms divides by sr one level up — corrupt rate
+                # must be the documented ValueError, not ZeroDivision
+                raise ValueError(f"WAV fmt chunk declares sample_rate={sr}")
         elif cid == b"data":
             samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
         pos = body + size + (size & 1)

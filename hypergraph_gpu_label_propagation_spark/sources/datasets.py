@@ -139,11 +139,32 @@ def fetch_dataset(
             raise ValueError(
                 f"sha256 mismatch for {name}: expected {sha256}, got {digest}"
             )
-        # the reference's rule: zip -> extract dir, else rename to .json
-        if zipfile.is_zipfile(tmp):
-            with zipfile.ZipFile(tmp) as zf:
-                _safe_extract(zf, final_dir)
+        # the reference's rule, hardened: route by the REGISTRY's declared
+        # kind (not a content sniff — an HTTP error page must fail, not be
+        # cached as the artifact), and validate the body matches before
+        # anything lands at the final path, because the idempotency check
+        # above would otherwise trust a bad artifact forever
+        if spec.kind == "zip":
+            if not zipfile.is_zipfile(tmp):
+                raise ValueError(
+                    f"{name}: mirror served a non-zip body for a zip dataset "
+                    f"(truncated download or an error page?)"
+                )
+            # extract to a temp dir, rename into place LAST — a corrupt
+            # member (BadZipFile mid-extract) must not leave a partial
+            # final_dir that later calls treat as complete
+            with tempfile.TemporaryDirectory(dir=dest) as td:
+                stage = Path(td) / name
+                with zipfile.ZipFile(tmp) as zf:
+                    _safe_extract(zf, stage)
+                stage.replace(final_dir)
             return final_dir
+        head = tmp.read_bytes()[:64].lstrip()
+        if not head.startswith((b"{", b"[")):
+            raise ValueError(
+                f"{name}: mirror body does not look like the declared JSON "
+                f"payload (starts {head[:16]!r})"
+            )
         tmp.replace(final_json)
         tmp = None  # consumed by the rename
         return final_json

@@ -119,3 +119,48 @@ def test_pickle_dir_villain_coo_pair(spark, tmp_path):
     assert inc == {(0, 0), (0, 1), (1, 1), (1, 2), (1, 3)}
     labs = {r["vertex_id"]: r["label"] for r in frames.vertex_labels.collect()}
     assert labs == {0: 9, 1: -1, 2: -1, 3: 4}  # partial labels -> -1 sentinel
+
+
+def test_mirror_body_validated_against_registry_kind(tmp_path):
+    """r06 code review: routing was a content sniff — an HTTP error page
+    for a zip dataset would be cached as <name>.json forever.  The body
+    must now match the REGISTRY's declared kind or the fetch fails and
+    caches nothing."""
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    # zip dataset served an HTML error page
+    (mirror / "arxiv-kaggle.zip").write_text("<html>404 not found</html>")
+    # json dataset served an HTML error page
+    (mirror / "eventernote-places.json").write_text("<html>503</html>")
+    dest = tmp_path / "dest"
+    with pytest.raises(ValueError, match="non-zip body"):
+        fetch_dataset("arxiv-kaggle", str(mirror), dest)
+    with pytest.raises(ValueError, match="JSON"):
+        fetch_dataset("eventernote-places", str(mirror), dest)
+    # nothing cached: a later fetch against a FIXED mirror succeeds
+    assert list(dest.iterdir()) == []
+    (tmp_path / "good").mkdir()
+    good = _make_mirror(tmp_path / "good")
+    assert fetch_dataset("eventernote-places", str(good), dest).is_file()
+
+
+def test_partial_zip_extract_not_cached(tmp_path):
+    """A zip whose member is corrupt (CRC mismatch mid-extract) must not
+    leave a partial <dest>/<name>/ that later calls return as the
+    complete artifact."""
+    import struct as _struct
+
+    mirror = tmp_path / "mirror"
+    mirror.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("hypergraph.pickle", b"x" * 400)
+        zf.writestr("labels.pickle", b"y" * 400)
+    raw = bytearray(buf.getvalue())
+    at = raw.find(b"y" * 10)  # corrupt the SECOND member's payload
+    raw[at : at + 4] = b"ZZZZ"
+    (mirror / "arxiv-kaggle.zip").write_bytes(bytes(raw))
+    dest = tmp_path / "dest"
+    with pytest.raises(Exception, match="CRC|Bad"):
+        fetch_dataset("arxiv-kaggle", str(mirror), dest)
+    assert not (dest / "arxiv-kaggle").exists()

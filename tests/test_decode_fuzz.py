@@ -69,19 +69,46 @@ def test_truncations_never_crash(name, decoder, make, magic):
 
 @pytest.mark.parametrize("name,decoder,make,magic", CASES, ids=[c[0] for c in CASES])
 def test_single_byte_corruptions_never_crash(name, decoder, make, magic):
+    """EVERY byte position gets one deterministic flip (plus 0x00 and
+    0xFF at a coarser stride) — the r06 code review found KeyError /
+    ZeroDivisionError escapes at ~1% of positions that a 120-sample
+    spot check missed, so this sweep is exhaustive by position.
+    Corrupting a dimension byte may legally produce a huge-but-valid
+    header the decoder rejects via its own size cap — also fine; what
+    this guards is the ERROR TYPE contract, not rejection of every
+    corruption (some flips hit don't-care bytes and still decode)."""
     valid = bytearray(make())
-    rng = np.random.default_rng(13)
-    for _ in range(120):
-        pos = int(rng.integers(0, len(valid)))
+    for pos in range(len(valid)):
         old = valid[pos]
-        valid[pos] = int(rng.integers(0, 256))
-        _must_reject_or_decode(_wrap_size_guard(decoder), bytes(valid))
+        valid[pos] = (old ^ (37 + 131 * pos)) & 0xFF
+        _must_reject_or_decode(decoder, bytes(valid))
+        valid[pos] = old
+    for pos in range(0, len(valid), 7):
+        old = valid[pos]
+        for flip in (0x00, 0xFF):
+            valid[pos] = flip
+            _must_reject_or_decode(decoder, bytes(valid))
         valid[pos] = old
 
 
-def _wrap_size_guard(decoder):
-    """Corrupting a dimension byte can legally produce a huge-but-valid
-    header that the decoder rejects via its own size cap — that's fine;
-    what we guard against is unbounded work/allocation, which the caps
-    and length checks turn into OK_ERRORS before any big alloc."""
-    return decoder
+def test_real_decode_row_division_levels():
+    """_real_decode_row divides by WAV sample rate and MP4 timescale one
+    level above the parsers — corrupt zeros there must already have been
+    rejected below (ValueError), never ZeroDivisionError here."""
+    import struct
+
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        _real_decode_row,
+    )
+
+    wav = bytearray(make_wav(100, 8000, seed=2))
+    at = wav.find(b"fmt ") + 8 + 4  # sample-rate field of the fmt chunk
+    struct.pack_into("<I", wav, at, 0)
+    with pytest.raises(ValueError, match="sample_rate"):
+        _real_decode_row("audio", bytes(wav))
+
+    mp4 = bytearray(make_mp4(32, 24, 10, seed=2))
+    at = mp4.find(b"mvhd") + 4 + 12  # v0 mvhd timescale field
+    struct.pack_into(">I", mp4, at, 0)
+    with pytest.raises(ValueError, match="timescale"):
+        _real_decode_row("video", bytes(mp4))

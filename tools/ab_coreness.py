@@ -1,15 +1,14 @@
 """A/B harness for the coreness wall-time levers (r05 verdict #3).
 
 Variants (alternating reps, shared precomputed clique expansion — the
-bench's production shape):
-  base      — r04 behavior: c0 = deg, frontier threshold 0.05
-  cap       — c0 = min(deg, global degree-sequence h-index)
-  cap_ft20  — cap + frontier threshold 0.20
-  cap_ft50  — cap + frontier threshold 0.50
-  ft20      — no cap, threshold 0.20 (isolates the threshold lever)
+bench's production shape) live in ``VARIANTS`` below and evolve round
+to round (the r05 set was base/cap/cap_ft20/cap_ft50/ft20; the current
+set probes fused_steps_pruned against the shipped default — see the
+findings comment on ``VARIANTS``).
 
-Prints one JSON line per (variant, rep) and a summary; also asserts the
-cap variant's values equal base's (exactness check at full sf scale).
+Prints one JSON line per (variant, rep) and a summary; also asserts
+every variant's coreness values equal the first variant's (exactness
+check at full sf scale).
 
 Usage: SPARK_GRAFT_SF_DIR=... python tools/ab_coreness.py [reps]
 """
