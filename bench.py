@@ -73,6 +73,10 @@ SF1_HEAVY = [
     "pagerank_converged",
     "connected_components",
     "triangle_count",
+    # r06: the round's headline algorithmic fix (368.9 -> 72.4 s at sf1
+    # via the oriented initial support pass) — on the gate so the
+    # anchored-wedge cost shape can't silently come back
+    "ktruss",
     "minhash_lsh",
 ]
 
