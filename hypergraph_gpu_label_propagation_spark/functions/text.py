@@ -147,3 +147,57 @@ def detect_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col).join(winner, id_col, "left").select(
         id_col, F.coalesce("lang_guess", F.lit("und")).alias("lang_guess")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + whitespace normalization (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) pairs — order matters: emails contain
+# dot-separated runs that the IP pattern would otherwise mangle, so
+# emails scrub first.  Patterns are deliberately high-precision (a
+# training-data scrubber must not shred ordinary prose): anchored on
+# word boundaries, digit shapes, and separators.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 (each octet 0-255)
+    (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    # US-style SSN
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # phone: optional +country, then 3-3-4 with -, ., or space separators
+    (
+        r"(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    # 13-19 digit card-shaped runs (optionally 4-grouped)
+    (r"\b[0-9]{4}(?:[ \-][0-9]{4}){2,3}\b|\b[0-9]{13,19}\b", "<CARD>"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace common PII shapes (email, IPv4, SSN, phone, card-like
+    digit runs) with typed placeholder tokens — a chained JVM-side
+    ``regexp_replace``, no UDF, order-stable (see PII_PATTERNS).  The
+    placeholders survive tokenization so downstream token counting and
+    dedup treat scrubbed docs consistently."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Training-corpus whitespace canonicalization: strip C0 control
+    chars (except \\t \\n), collapse horizontal whitespace runs to one
+    space, collapse 3+ newlines to two (paragraph break), trim."""
+    col = F.col(text) if isinstance(text, str) else text
+    col = F.regexp_replace(col, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    col = F.regexp_replace(col, r"[ \t]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    return F.trim(col)

@@ -1,0 +1,118 @@
+"""Training-data text prep: PII scrubbing, whitespace normalization,
+document chunking + sequence packing — exact expectations against
+pure-Python replicas, plus plan-shape guards (no UDF, no
+SinglePartition window)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypergraph_gpu_label_propagation_spark.functions.chunking import (
+    chunk_documents,
+    pack_chunks,
+)
+from hypergraph_gpu_label_propagation_spark.functions.text import (
+    normalize_ws,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_shapes(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.com or call 415-555-2671"),
+        (1, "server 10.0.255.7 logged ssn 123-45-6789 and card 4111 1111 1111 1111"),
+        (2, "versions 1.2.3 and 10.20 stay; room 101 stays; +1 650.555.0199 goes"),
+        (3, "plain prose with the number 42 and year 2024 untouched"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()
+    }
+    assert got[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[1] == "server <IP> logged ssn <SSN> and card <CARD>"
+    # 1.2.3 is not a valid IPv4 shape (needs 4 octets); 10.20 neither
+    assert got[2] == "versions 1.2.3 and 10.20 stay; room 101 stays; <PHONE> goes"
+    assert got[3] == rows[3][1]
+
+
+def test_normalize_ws(spark):
+    df = spark.createDataFrame(
+        [(0, "  a\t\tb \n\n\n\n c\x00d\x07 \n e  ")], "doc_id long, text string"
+    )
+    got = df.select(normalize_ws("text").alias("t")).collect()[0]["t"]
+    assert got == "a b\n\ncd\ne"  # control chars STRIP (c\x00d fuses)
+
+
+def _py_chunks(text: str, size: int, overlap: int):
+    toks = text.split()
+    if not toks:
+        return []
+    stride = size - overlap
+    return [
+        (i, min(size, len(toks) - s), " ".join(toks[s : s + size]))
+        for i, s in enumerate(range(0, len(toks), stride))
+    ]
+
+
+@pytest.mark.parametrize("size,overlap", [(8, 0), (8, 3), (5, 4), (128, 32)])
+def test_chunk_documents_matches_python_replica(spark, size, overlap):
+    texts = [
+        " ".join(f"w{i}" for i in range(n)) for n in (0, 1, 4, 8, 9, 37, 200)
+    ] + ["   "]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, chunk_documents(df, size=size, overlap=overlap).collect())
+    )
+    want = sorted(
+        (i, ci, nt, ch)
+        for i, t in enumerate(texts)
+        for ci, nt, ch in _py_chunks(t, size, overlap)
+    )
+    assert got == want
+
+
+def test_chunk_documents_validates_params(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=4, overlap=4)
+    with pytest.raises(ValueError, match="size"):
+        chunk_documents(df, size=0)
+
+
+def test_chunking_plan_has_no_udf_or_python(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, size=2, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_chunks_budget_and_determinism(spark):
+    texts = [(i, " ".join(f"t{j}" for j in range(50))) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    chunks = chunk_documents(df, size=12, overlap=0)
+    packed = pack_chunks(chunks, budget=30, num_shards=8)
+    rows = packed.collect()
+    # all of a doc's chunks share its shard
+    shard_of = {}
+    for r in rows:
+        shard_of.setdefault(r["doc_id"], r["shard"])
+        assert shard_of[r["doc_id"]] == r["shard"]
+    # bins respect the budget up to the documented < one-chunk overfill
+    from collections import defaultdict
+
+    bins = defaultdict(int)
+    for r in rows:
+        bins[(r["shard"], r["bin_id"])] += min(r["n_tokens"], 30)
+    assert all(v < 30 + 12 for v in bins.values())
+    # deterministic across runs
+    again = sorted(map(tuple, pack_chunks(chunks, budget=30, num_shards=8).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # plan: the window partitions by shard, never a single global order
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
