@@ -891,6 +891,68 @@ def q_agg_rollup(spark, sf_dir):
     )
 
 
+def q_agg_relational(spark, sf_dir):
+    """Tagged union of the former agg_pushdown + agg_rollup rows (r06:
+    folded to free a board slot for text_prep_chunks under the driver
+    gate's 50-row cap — the degree_surface precedent; both originals
+    ride verbatim under UNION ALL in the oracle)."""
+    pd = q_agg_pushdown(spark, sf_dir).select(
+        F.lit("pushdown").alias("src"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        "sum_qty",
+        "revenue",
+        "n_rows",
+    )
+    ru = q_agg_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("src"),
+        "returnflag",
+        "linestatus",
+        "sum_qty",
+        F.lit(None).cast("double").alias("revenue"),
+        "n_rows",
+    )
+    return pd.unionByName(ru)
+
+
+# text_prep_chunks injects deterministic PII + whitespace junk into the
+# documents text IN-QUERY (both engines build the identical string) so
+# the scrub patterns and the newline-collapsing normalizer genuinely
+# fire on every row — the raw synthetic corpus contains neither.
+_TP_SIZE, _TP_OVERLAP = 32, 8
+
+
+def q_text_prep_chunks(spark, sf_dir):
+    """Training-corpus text prep under the driver gate: PII-injected
+    documents -> normalize_ws -> scrub_pii -> overlapping token-window
+    chunking (functions/text.py, functions/chunking.py) — the DuckDB
+    twin re-derives the full regex chain and the window arithmetic."""
+    from hypergraph_gpu_label_propagation_spark.functions.chunking import (
+        chunk_documents,
+    )
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        normalize_ws,
+        scrub_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 ssn 123-45-6789 \t call 415-555-0199 \n\n\n\n tail"),
+    )
+    cleaned = docs.select("doc_id", scrub_pii(normalize_ws(aug)).alias("text"))
+    return chunk_documents(cleaned, size=_TP_SIZE, overlap=_TP_OVERLAP).select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_idx").cast("int"),
+        F.col("n_tokens").cast("int"),
+        "chunk",
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated quantiles per group (Spark percentile() ==
     DuckDB quantile_cont(), both linear interpolation on sorted values) —
@@ -1210,8 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream": q_events_stream,
         "events_sessions": q_events_sessions,
         "events_user_stats": q_events_user_stats,
-        "agg_pushdown": q_agg_pushdown,
-        "agg_rollup": q_agg_rollup,
+        "agg_relational": q_agg_relational,
+        "text_prep_chunks": q_text_prep_chunks,
         "quantiles": q_quantiles,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
@@ -1221,6 +1283,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI SQL)
 # ---------------------------------------------------------------------------
+
+
+def _sql_text_clean(col: str) -> str:
+    """DuckDB twin of normalize_ws + scrub_pii: the SAME pattern lists
+    (imported, not transcribed — functions/text.py is the single source
+    of truth) chained through regexp_replace(..., \'g\').  RE2 and Java
+    regex agree on every construct these patterns use (char classes,
+    \\b, non-capturing groups, bounded repeats)."""
+    from hypergraph_gpu_label_propagation_spark.functions.text import PII_PATTERNS
+
+    e = f"regexp_replace({col}, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n ?', E'\\n', 'g')"
+    e = f"regexp_replace({e}, '\\n{{3,}}', E'\\n\\n', 'g')"
+    e = f"TRIM({e})"
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '{repl}', 'g')"
+    return e
+
+
+_TP_STRIDE = _TP_SIZE - _TP_OVERLAP
+_TP_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com or 10.0.' || CAST(doc_id % 250 AS VARCHAR) "
+    "|| '.7 ssn 123-45-6789 ' || chr(9) || ' call 415-555-0199 ' "
+    "|| repeat(chr(10), 4) || ' tail'"
+)
+_SQL_TEXT_PREP = f"""
+WITH docs AS (SELECT doc_id, {{clean}} AS t FROM documents),
+stripped AS (SELECT doc_id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS t FROM docs),
+tok AS (SELECT doc_id, CASE WHEN t = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(t, '\\s+') END AS toks FROM stripped),
+ex AS (SELECT doc_id, toks,
+              UNNEST(CASE WHEN len(toks) = 0 THEN []::BIGINT[]
+                          ELSE generate_series(0, CAST(len(toks) AS BIGINT) - 1, {_TP_STRIDE}) END) AS s
+       FROM tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(s // {_TP_STRIDE} AS INT) AS chunk_idx,
+       CAST(LEAST({_TP_SIZE}, len(toks) - s) AS INT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {_TP_SIZE}], ' ') AS chunk
+FROM ex
+"""
+
+
+def _init_sql_text_prep():
+    global _SQL_TEXT_PREP
+    _SQL_TEXT_PREP = _SQL_TEXT_PREP.format(clean=_sql_text_clean(_TP_AUG))
+
+
+_init_sql_text_prep()
 
 
 def _sql_lp_superstep_body() -> str:
@@ -2374,20 +2486,20 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "ROUND(MAX(value), 6) AS max_value "
             "FROM events GROUP BY user_id"
         ),
-        "agg_pushdown": (
-            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
+        "agg_relational": (
+            "SELECT 'pushdown' AS src, l_returnflag AS returnflag, "
+            "l_linestatus AS linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
             "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1998-09-03' "
-            "GROUP BY l_returnflag, l_linestatus"
-        ),
-        "agg_rollup": (
-            "SELECT COALESCE(l_returnflag, '<all>') AS returnflag, "
-            "COALESCE(l_linestatus, '<all>') AS linestatus, "
-            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            "ROUND(SUM(l_quantity), 4) AS sum_qty "
+            "GROUP BY l_returnflag, l_linestatus "
+            "UNION ALL "
+            "SELECT 'rollup', COALESCE(l_returnflag, '<all>'), "
+            "COALESCE(l_linestatus, '<all>'), ROUND(SUM(l_quantity), 4), "
+            "CAST(NULL AS DOUBLE), CAST(COUNT(*) AS BIGINT) "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        "text_prep_chunks": _SQL_TEXT_PREP,
         "quantiles": (
             "SELECT l_returnflag, "
             "ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, "

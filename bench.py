@@ -48,7 +48,7 @@ HEADLINE = [
     "ann_topk",  # r06: was cosine_topk; now exact + signlsh union row
     "embedding_near_dup",
     "text_profile",
-    "agg_pushdown",
+    "agg_relational",  # r06: pushdown+rollup union row
     "events_stream",
     "events_user_stats",
     "graph_profile",

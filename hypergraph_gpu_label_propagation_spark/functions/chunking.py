@@ -42,12 +42,14 @@ def chunk_documents(
 
     # split once into an array column; reuse it via a named projection
     # (inlining the split in every lambda re-evaluates it per element —
-    # the 45x round-2 gotcha)
-    toks = F.split(F.trim(F.col(text_col)), token_pattern)
+    # the 45x round-2 gotcha).  Strip ALL leading/trailing whitespace
+    # first — trim() is space-only, and a leading newline would
+    # otherwise produce an empty first token
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     base = df.select(
         F.col(id_col),
-        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
-        .otherwise(toks)
+        F.when(stripped == "", F.array().cast("array<string>"))
+        .otherwise(F.split(stripped, token_pattern))
         .alias("_toks"),
     )
     n = F.size("_toks")

@@ -60,7 +60,7 @@ def _py_chunks(text: str, size: int, overlap: int):
 def test_chunk_documents_matches_python_replica(spark, size, overlap):
     texts = [
         " ".join(f"w{i}" for i in range(n)) for n in (0, 1, 4, 8, 9, 37, 200)
-    ] + ["   "]
+    ] + ["   ", "\n\nlead newline doc\n", "\n \t "]
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
