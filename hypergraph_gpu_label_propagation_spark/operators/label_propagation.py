@@ -308,6 +308,13 @@ def label_propagation(
                 .localCheckpoint(eager=True)
             )
             changes = obs.get["changes"] or 0
+            # memory-lifetime note (r06 review): unpersist() only clears
+            # cacheManager entries, so on a localCheckpoint-backed frame
+            # it is a no-op — the checkpointed blocks are actually freed
+            # when the superseded frame is GC'd on the driver and the
+            # ContextCleaner collects its RDD.  The rebinding below is
+            # what releases memory; the unpersist stays for the cases
+            # where a caller passed a persist()-ed initial frame.
             labels.unpersist()
             labels = stepped.select("vertex_id", "label")
             wall_ms = (time.monotonic() - t0) * 1000.0

@@ -180,7 +180,7 @@ def hypergraph_pagerank(
             row = obs.get
             delta = float(row["delta"] or 0.0)
             dangling = float(row["dang"] or 0.0)
-            state.unpersist()
+            state.unpersist()  # no-op for checkpoint frames; see LP loop note
             state = new.drop("_old")
             iterations = it + 1
             deltas.append(delta)
@@ -314,7 +314,7 @@ def personalized_pagerank(
             row = obs.get
             delta = float(row["delta"] or 0.0)
             dangling = float(row["dang"] or 0.0)
-            state.unpersist()
+            state.unpersist()  # no-op for checkpoint frames; see LP loop note
             state = new.drop("_old")
             iterations = it + 1
             deltas.append(delta)
