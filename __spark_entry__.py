@@ -1285,22 +1285,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _sql_text_clean(col: str) -> str:
-    """DuckDB twin of normalize_ws + scrub_pii: the SAME pattern lists
-    (imported, not transcribed — functions/text.py is the single source
-    of truth) chained through regexp_replace(..., \'g\').  RE2 and Java
-    regex agree on every construct these patterns use (char classes,
-    \\b, non-capturing groups, bounded repeats)."""
-    from hypergraph_gpu_label_propagation_spark.functions.text import PII_PATTERNS
+def _sql_lit(s: str) -> str:
+    """A DuckDB E'...' escape-string literal for a replacement string
+    that may contain newlines/backslashes."""
+    return "E'" + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n") + "'"
 
-    e = f"regexp_replace({col}, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
-    e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
-    e = f"regexp_replace({e}, ' ?\\n ?', E'\\n', 'g')"
-    e = f"regexp_replace({e}, '\\n{{3,}}', E'\\n\\n', 'g')"
+
+def _sql_text_clean(col: str) -> str:
+    """DuckDB twin of normalize_ws + scrub_pii: BOTH pattern lists are
+    imported (NORMALIZE_PATTERNS + PII_PATTERNS — functions/text.py is
+    the single source of truth; an edit there flows into this oracle
+    automatically) and chained through regexp_replace(..., 'g').  RE2
+    and Java regex agree on every construct these patterns use (char
+    classes, \\b, non-capturing groups, bounded repeats)."""
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        NORMALIZE_PATTERNS,
+        PII_PATTERNS,
+    )
+
+    e = col
+    for pat, repl in NORMALIZE_PATTERNS:
+        e = f"regexp_replace({e}, '{pat}', {_sql_lit(repl)}, 'g')"
     e = f"TRIM({e})"
     for pat, repl in PII_PATTERNS:
         p = pat.replace("'", "''")
-        e = f"regexp_replace({e}, '{p}', '{repl}', 'g')"
+        e = f"regexp_replace({e}, '{p}', {_sql_lit(repl)}, 'g')"
     return e
 
 
@@ -1311,28 +1320,33 @@ _TP_AUG = (
     "|| '.7 ssn 123-45-6789 ' || chr(9) || ' call 415-555-0199 ' "
     "|| repeat(chr(10), 4) || ' tail'"
 )
-_SQL_TEXT_PREP = f"""
-WITH docs AS (SELECT doc_id, {{clean}} AS t FROM documents),
+
+
+def _mk_sql_text_prep() -> str:
+    """Build the text_prep_chunks oracle (idempotent — a plain function
+    of the imported pattern lists; no str.format over text that itself
+    contains regex brace quantifiers).  Window starts mirror
+    chunk_documents exactly: last start = ceil(max(0, n-size)/stride)
+    strides, so no tail window fully contained in its predecessor."""
+    clean = _sql_text_clean(_TP_AUG)
+    sz, st = _TP_SIZE, _TP_STRIDE
+    return f"""
+WITH docs AS (SELECT doc_id, {clean} AS t FROM documents),
 stripped AS (SELECT doc_id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS t FROM docs),
 tok AS (SELECT doc_id, CASE WHEN t = '' THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(t, '\\s+') END AS toks FROM stripped),
 ex AS (SELECT doc_id, toks,
               UNNEST(CASE WHEN len(toks) = 0 THEN []::BIGINT[]
-                          ELSE generate_series(0, CAST(len(toks) AS BIGINT) - 1, {_TP_STRIDE}) END) AS s
+                          ELSE generate_series(0, ((GREATEST(0, CAST(len(toks) AS BIGINT) - {sz}) + {st - 1}) // {st}) * {st}, {st}) END) AS s
        FROM tok)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(s // {_TP_STRIDE} AS INT) AS chunk_idx,
-       CAST(LEAST({_TP_SIZE}, len(toks) - s) AS INT) AS n_tokens,
-       array_to_string(toks[s + 1 : s + {_TP_SIZE}], ' ') AS chunk
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(s // {st} AS INT) AS chunk_idx,
+       CAST(LEAST({sz}, len(toks) - s) AS INT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {sz}], ' ') AS chunk
 FROM ex
 """
 
 
-def _init_sql_text_prep():
-    global _SQL_TEXT_PREP
-    _SQL_TEXT_PREP = _SQL_TEXT_PREP.format(clean=_sql_text_clean(_TP_AUG))
-
-
-_init_sql_text_prep()
+_SQL_TEXT_PREP = _mk_sql_text_prep()
 
 
 def _sql_lp_superstep_body() -> str:

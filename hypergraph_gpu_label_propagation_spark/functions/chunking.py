@@ -27,13 +27,16 @@ def chunk_documents(
     text_col: str = "text",
     size: int = 128,
     overlap: int = 32,
-    token_pattern: str = r"\s+",
 ) -> DataFrame:
     """(id, chunk_idx, n_tokens, chunk): whitespace-token windows of
     ``size`` tokens every ``size - overlap`` tokens.  The final window
-    is the tail (may be shorter than ``size``); windows whose start is
-    past the last token never materialize.  A document shorter than
-    ``size`` yields exactly one chunk."""
+    is the tail (may be shorter than ``size``); a window fully contained
+    in the previous one never materializes (the last start is the FIRST
+    one whose window reaches the end of the document), so a document of
+    ``size`` tokens or fewer yields exactly one chunk.  Tokenization is
+    whitespace — a configurable pattern was removed (r06 review): the
+    strip/empty-doc guards are whitespace-specific, so a different
+    pattern silently produced empty boundary tokens."""
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}")
     if not 0 <= overlap < size:
@@ -49,13 +52,18 @@ def chunk_documents(
     base = df.select(
         F.col(id_col),
         F.when(stripped == "", F.array().cast("array<string>"))
-        .otherwise(F.split(stripped, token_pattern))
+        .otherwise(F.split(stripped, r"\s+"))
         .alias("_toks"),
     )
     n = F.size("_toks")
-    # window starts: 0, stride, 2*stride, ... < n  (ceil(n/stride) of them)
+    # window starts: 0, stride, ..., last, where last is the first start
+    # whose window reaches the document end — ceil(max(0, n-size)/stride)
+    # strides (running starts to n-1 emitted tail windows fully contained
+    # in their predecessor: a pure duplicate suffix; r06 review)
+    extra = F.greatest(F.lit(0), n - size)
+    last = (F.floor((extra + (stride - 1)) / stride) * stride).cast("int")
     starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(stride))
+        F.sequence(F.lit(0), last, F.lit(stride))
     )
     chunks = F.transform(
         starts,
@@ -101,6 +109,11 @@ def pack_chunks(
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if num_shards < 1:
+        # pmod(x, 0) is NULL -> every row lands in ONE null shard and
+        # the window degrades to the global barrier this function exists
+        # to avoid (r06 review)
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias("shard")
     sharded = chunks.select("*", shard)
     w = (

@@ -169,9 +169,12 @@ PII_PATTERNS: list[tuple[str, str]] = [
     ),
     # US-style SSN
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    # phone: optional +country, then 3-3-4 with -, ., or space separators
+    # phone: optional +country, then 3-3-4 with -, ., or space separators.
+    # Leading \b so the match can't start mid-digit-run (an unguarded
+    # pattern scrubbed the tail of invoice/ISBN-style numbers; r06
+    # review).  RE2-compatible — no lookbehind (the DuckDB twin).
     (
-        r"(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
+        r"\b(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
         "<PHONE>",
     ),
     # 13-19 digit card-shaped runs (optionally 4-grouped)
@@ -191,13 +194,22 @@ def scrub_pii(text: Column | str) -> Column:
     return col
 
 
+# normalize_ws's pattern chain, exported so the DuckDB twin imports it
+# exactly like PII_PATTERNS (single source of truth — a hand-transcribed
+# copy in the oracle would silently diverge on the next edit here)
+NORMALIZE_PATTERNS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0B-\x1F\x7F]", ""),   # strip C0 controls (keep \t \n)
+    (r"[ \t]+", " "),                      # collapse horizontal runs
+    (r" ?\n ?", "\n"),                      # newlines absorb flanking spaces
+    (r"\n{3,}", "\n\n"),                    # 3+ newlines -> paragraph break
+]
+
+
 def normalize_ws(text: Column | str) -> Column:
     """Training-corpus whitespace canonicalization: strip C0 control
     chars (except \\t \\n), collapse horizontal whitespace runs to one
     space, collapse 3+ newlines to two (paragraph break), trim."""
     col = F.col(text) if isinstance(text, str) else text
-    col = F.regexp_replace(col, r"[\x00-\x08\x0B-\x1F\x7F]", "")
-    col = F.regexp_replace(col, r"[ \t]+", " ")
-    col = F.regexp_replace(col, r" ?\n ?", "\n")
-    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    for pat, repl in NORMALIZE_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
     return F.trim(col)
