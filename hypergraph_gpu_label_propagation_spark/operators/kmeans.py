@@ -207,6 +207,7 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     exclude_self: bool = True,
     round_dist: int | None = None,
+    cell_salt: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k by cosine: (query_id, neighbor_id,
     cos_sim, rank), schema-compatible with cosine_topk / signlsh_topk.
@@ -215,9 +216,21 @@ def ivf_topk(
     100 TB both are write-once, amortized like the bucketed LP layout).
     Query = nprobe cell probes + an equi-join on cell id + exact cosine
     re-rank inside the probed cells only — never a corpus broadcast,
-    never a crossJoin."""
+    never a crossJoin.
+
+    ``cell_salt`` > 1 splits every cell into that many hash subcells on
+    the JOIN KEY ONLY (r06 skew hardening): real embedding
+    distributions skew k-means cells, and a hot cell otherwise lands on
+    one shuffle partition.  Neighbor rows scatter by
+    xxhash64(neighbor_id) % salt; each probed cell on the query side
+    explodes to all its subcells (probe fan-out = nprobe x salt tiny
+    rows).  EXACT — the candidate SET is unchanged, only its
+    partitioning; the same freeze(salt=N) reasoning as LP's skew
+    layouts."""
     if nprobe < 1 or nprobe > n_cells:
         raise ValueError(f"nprobe must be in [1, {n_cells}], got {nprobe}")
+    if cell_salt < 1:
+        raise ValueError(f"cell_salt must be >= 1, got {cell_salt}")
     if centroids is None:
         centroids = kmeans_fit(
             corpus, id_col, vec_col, k=n_cells, max_iters=max_iters, seed=seed
@@ -234,6 +247,12 @@ def ivf_topk(
         ),
         id_col,
     ).select(F.col(id_col).alias("neighbor_id"), "cell", "_cv", "_cn")
+    if cell_salt > 1:
+        inv = inv.withColumn(
+            "cell",
+            F.col("cell") * cell_salt
+            + F.pmod(F.xxhash64("neighbor_id"), F.lit(cell_salt)).cast("int"),
+        )
 
     # each query probes its nprobe nearest cells (sorted struct array
     # over the same centroid literal, sliced — plan stays O(n_cells))
@@ -265,6 +284,17 @@ def ivf_topk(
             F.explode(F.transform(probe_cells, lambda s: s["cell"])).alias("cell"),
         )
     )
+    if cell_salt > 1:
+        # each probed cell fans out to all of its subcells
+        q = q.select(
+            "query_id", "_qv", "_qn",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(cell_salt - 1)),
+                    lambda j: F.col("cell") * cell_salt + j,
+                )
+            ).alias("cell"),
+        )
 
     pairs = inv.join(q.hint("shuffle_hash"), "cell")
     if exclude_self:

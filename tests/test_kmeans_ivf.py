@@ -119,3 +119,28 @@ def test_ivf_round_dist_matches_full_precision_when_separated(spark):
         (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
     )
     assert key(full) == key(rounded)
+
+
+def test_ivf_cell_salt_exact_and_still_equi_join(spark):
+    """cell_salt splits hot cells across shuffle partitions on the JOIN
+    KEY ONLY — the candidate set (and thus every result row) must be
+    IDENTICAL to the unsalted run, and the probe join must remain an
+    equi-join with no cartesian fallback."""
+    import pytest as _pytest
+
+    df, centers = _clustered_df(spark)
+    queries = df.limit(8)
+    cents = [[float(x) for x in c] for c in centers]
+    kw = dict(k=3, n_cells=N_CLUSTERS, nprobe=2, centroids=cents)
+    base = ivf_topk(df, queries, **kw).collect()
+    salted_df = ivf_topk(df, queries, cell_salt=4, **kw)
+    salted = salted_df.collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
+    )
+    assert key(base) == key(salted)
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with _pytest.raises(ValueError, match="cell_salt"):
+        ivf_topk(df, queries, cell_salt=0, **kw)
