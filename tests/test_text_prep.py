@@ -159,3 +159,36 @@ def test_pack_chunks_budget_and_determinism(spark):
     # plan: the window partitions by shard, never a single global order
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_chunks_compose_with_near_dup_pipeline(spark):
+    """End-to-end composition: chunk_documents output feeds the dedup
+    family directly — duplicated documents are recalled as chunk-level
+    exact near-dups (jaccard 1.0 on every aligned chunk pair), which is
+    how a real corpus pipeline finds partial-overlap plagiarism that
+    doc-level hashing misses."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    body = " ".join(f"tok{i % 37}x{(7 * i) % 11}" for i in range(64))
+    df = spark.createDataFrame(
+        [(0, body), (1, body), (2, " ".join(f"other{i}" for i in range(64)))],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, size=24, overlap=4).select(
+        # one flat id per chunk so the pair output is unambiguous
+        (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dup_pairs(chunks, "doc_id", "text", threshold=0.9).collect()
+    }
+    n_chunks = 3  # 64 tokens, size 24, stride 20 -> starts 0,20,40
+    assert n_chunks == 1 + -(-(64 - 24) // 20)
+    # every aligned chunk pair of the duplicated doc is recalled exactly
+    for ci in range(n_chunks):
+        assert pairs.get((0 * 100 + ci, 1 * 100 + ci)) == 1.0
+    # nothing pairs with the unrelated doc
+    assert not any(a >= 200 or b >= 200 for a, b in pairs)
