@@ -170,11 +170,14 @@ PII_PATTERNS: list[tuple[str, str]] = [
     # US-style SSN
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     # phone: optional +country, then 3-3-4 with -, ., or space separators.
-    # Leading \b so the match can't start mid-digit-run (an unguarded
-    # pattern scrubbed the tail of invoice/ISBN-style numbers; r06
-    # review).  RE2-compatible — no lookbehind (the DuckDB twin).
+    # Guard so the match can't start mid-digit-run (an unguarded pattern
+    # scrubbed the tail of invoice/ISBN-style numbers; r06 review), while
+    # still admitting a leading '+' after whitespace/line start: \b can't
+    # sit between two non-word chars (space and '+'), so the '+' branch
+    # uses \B instead (r06 ADVICE — '+1 415-555-0199' now scrubs whole).
+    # RE2-compatible — no lookaround (the DuckDB twin runs the same list).
     (
-        r"\b(?:\+?[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
+        r"(?:\B\+|\b)(?:[0-9]{1,2}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
         "<PHONE>",
     ),
     # 13-19 digit card-shaped runs (optionally 4-grouped)

@@ -284,6 +284,12 @@ class _BitReader:
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
+        # r06 ADVICE: magnitude bits must not silently decode from phantom
+        # padding — a stream truncated inside the final MCU's last
+        # magnitude bits would otherwise return wrong pixels instead of
+        # the documented ValueError (same 16-bit allowance as _read_huff)
+        if self.pos - self.end > 16:
+            raise ValueError("JPEG entropy stream truncated")
         return v
 
     def overran(self) -> bool:

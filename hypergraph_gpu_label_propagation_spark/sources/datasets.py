@@ -159,7 +159,11 @@ def fetch_dataset(
                     _safe_extract(zf, stage)
                 stage.replace(final_dir)
             return final_dir
-        head = tmp.read_bytes()[:64].lstrip()
+        # read only the first 64 bytes — the artifact may be huge and the
+        # module contract is constant driver memory (the download itself
+        # streams in 1 MiB chunks; sniffing must not buffer the whole body)
+        with open(tmp, "rb") as f:
+            head = f.read(64).lstrip()
         if not head.startswith((b"{", b"[")):
             raise ValueError(
                 f"{name}: mirror body does not look like the declared JSON "

@@ -91,6 +91,22 @@ def test_single_byte_corruptions_never_crash(name, decoder, make, magic):
         valid[pos] = old
 
 
+def test_jpeg_entropy_truncation_raises_not_silent():
+    """r06 ADVICE: a JPEG whose entropy segment is truncated inside the
+    final MCU's magnitude bits must raise ValueError, not decode silently
+    wrong pixels from phantom padding.  read_bits now enforces the same
+    16-phantom-bit allowance as _read_huff; dropping >=2 entropy bytes
+    always exceeds it (a 1-byte cut can land inside the legitimate
+    final-byte padding allowance and is allowed to decode)."""
+    data = make_jpeg(64, 64, seed=7)
+    assert data.endswith(b"\xff\xd9")
+    body, eoi = data[:-2], data[-2:]
+    _decode_jpeg(data)  # sanity: the untruncated payload decodes
+    for cut in range(2, 12):
+        with pytest.raises(ValueError):
+            _decode_jpeg(body[:-cut] + eoi)
+
+
 def test_real_decode_row_division_levels():
     """_real_decode_row divides by WAV sample rate and MP4 timescale one
     level above the parsers — corrupt zeros there must already have been

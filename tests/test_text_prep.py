@@ -32,10 +32,10 @@ def test_scrub_pii_shapes(spark):
     }
     assert got[0] == "mail me at <EMAIL> or call <PHONE>"
     assert got[1] == "server <IP> logged ssn <SSN> and card <CARD>"
-    # 1.2.3 is not a valid IPv4 shape (needs 4 octets); 10.20 neither
-    # the leading \b lands the phone match at the first digit, so the
-    # bare '+' survives (no lookbehind — RE2, the oracle engine, has none)
-    assert got[2] == "versions 1.2.3 and 10.20 stay; room 101 stays; +<PHONE> goes"
+    # 1.2.3 is not a valid IPv4 shape (needs 4 octets); 10.20 neither.
+    # r06 ADVICE: the '+' branch uses \B (space|'+' is not a word
+    # boundary), so '+1 650.555.0199' scrubs as ONE token, no stray '+'
+    assert got[2] == "versions 1.2.3 and 10.20 stay; room 101 stays; <PHONE> goes"
     assert got[3] == rows[3][1]
     # r06 review: an unanchored phone pattern scrubbed the TAIL of longer
     # digit runs (invoices, ISBNs) — the leading \b forbids mid-run starts
