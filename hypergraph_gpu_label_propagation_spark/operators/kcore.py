@@ -122,11 +122,13 @@ def coreness(
     resume: bool = False,
     adj: DataFrame | None = None,
     init_cap: bool = True,
-    frontier_threshold: float = 0.05,
-    fused_steps: int = 2,
+    frontier_threshold: float = 0.0,
+    fused_steps: int = 4,
     fused_steps_pruned: int | None = None,
     scope_inner_steps: bool = False,
     gauss_seidel: bool = False,
+    sweep: str = "arr",
+    inc_threshold: float = 0.2,
     verbose: bool = False,
 ) -> CorenessResult:
     """Per-vertex core number of the co-occurrence graph (full k-core
@@ -155,6 +157,87 @@ def coreness(
     ``frontier_threshold``: fraction of vertices below which rounds
     switch to frontier-scoped recomputation (the two pruning semi-joins
     cost ~an adj scan each, so they only pay off on small frontiers).
+    DEFAULT OFF since r07: on the measured co-occurrence graphs the
+    scope is never small — 17,732 of 20,000 sf0.1 vertices share one
+    84-core, so neighbors-of-changed ~ everything and the pruned
+    rounds' two extra adjacency scans are pure overhead (A/B
+    tools/ab_coreness.py: never-prune 16.0 s med vs default-prune
+    25.8 s med at sf0.1).  The lever stays for genuinely sparse
+    graphs; the small-frontier fast path is now ``sweep="auto"``'s
+    incremental mode, which pays |delta| instead of scope scans.
+
+    ``sweep``: how a full h-index sweep is computed, and whether the
+    loop may switch to incremental histogram maintenance.
+
+    - ``"hist"``: histogram + cumulative window (two post-join
+      exchanges: hashpartitioning(u, c) for the histogram groupBy does
+      NOT satisfy the window's ClusteredDistribution(u)).
+    - ``"arr"``: one groupBy(u) with sort_array(collect_list) and the
+      h-index inline over the sorted array (h = #{i: a_i >= i}) — ONE
+      post-join exchange, no sort-window; r07 A/B: 1.74 s vs 2.48 s
+      per full sweep at sf1, and it tolerates deeper fusing (hist
+      fused4 22.5 s med vs arr fused4 14.7 s med at sf0.1, the stacked
+      window sorts dominate hist's deep plans).
+    - ``"auto"``: full sweeps run as ``"arr"``; once a round's change
+      count drops below ``inc_threshold * |V|`` the loop switches
+      permanently to INCREMENTAL sweeps (below).  DOCUMENTED NEGATIVE
+      at every in-sandbox scale — exact and tested, but NOT the
+      default; see the crossover analysis at the end of this section.
+
+    Incremental sweeps (r07, the "change the sweep" verdict task):
+    the per-vertex neighbor-value histogram H(u, c, n) is kept as
+    materialized loop state (partitioned by u, localCheckpointed per
+    round alongside the values).  A sweep then:
+
+    1. builds the histogram delta from the changed set D = {(v,
+       c_old, c_new)}: one probe of the v-partitioned adjacency by D,
+       exploded to (u, c_old, -1) / (u, c_new, +1) rows and partially
+       aggregated — |delta| = sum of deg over changed vertices, NOT
+       |E|;
+    2. full-outer-merges the delta into H on (u, c) with both sides
+       partitioned by u (hashpartitioning(u) satisfies the join's
+       ClusteredDistribution([u, c]) — no exchange of H);
+    3. recomputes h ONLY for touched vertices (their histogram rows,
+       window partitioned by u in place) and left-merges onto the
+       values.
+
+    EXACT, sweep-for-sweep: h(u) is a function of u's histogram
+    alone; the histogram is maintained by exact integer deltas (the
+    per-u count total is invariantly deg(u)); an untouched vertex's
+    histogram is unchanged so its h is provably unchanged.  The value
+    sequence is therefore bit-identical to the Jacobi sweeps of
+    "arr"/"hist" — same rounds, same change counts (asserted in
+    tests/test_graph_algos.py) — only the data volume differs: a full
+    sweep exchanges every edge's value to its u-side every time
+    (~72% of sweep cost at sf1, measured r07), the incremental sweep
+    exchanges |delta| rows plus an H-sized scan.
+
+    WHY IT LOSES at measurable scales (r07 A/B, tools/ab_coreness.py
+    + BENCH_SCALING.md round 7): an incremental round runs ~15 stages
+    (delta build: probe + explode + partial agg + repartition; H
+    full-outer merge; touched-scoped window recompute; value merge;
+    TWO materializations — state and H) against a full arr round's
+    ~4, a fixed ~2.5 s/round floor at local[32] regardless of how
+    tiny the delta is.  Measured: inc rounds 2.6-3.5 s vs full 0.7 s
+    at sf0.1 (auto 52-68 s vs arr 15-20 s end-to-end); at sf1 a full
+    sweep's E-sized exchange costs ~1.25 s, so even there the delta
+    savings (~2 s/round in the creep phase) roughly cancel the stage
+    overhead.  The crossover needs the E-sized exchange term to
+    dominate the ~2 s fixed cost — O(100M+ adjacency rows per sweep
+    on this box), an order of magnitude past sf1.  At fused_steps>2
+    it loses additionally to within-round stats compounding: each
+    inner sweep's value merge joins a frame whose stats already
+    carry the histogram branch, doubling stats bit-length per sweep
+    (the r05 BigInt planning spiral, ~17 s/round at fused 4).  Kept
+    as an exact, tested mode because the structure is right where a
+    single sweep is minutes long; NOT the default.
+
+    Stats discipline (r05 BigInt gotcha): incremental rounds carry
+    the round-start value ``_c0`` THROUGH the fused sweeps, so the
+    round boundary never re-joins the state frame — state is
+    referenced once per round; residual within-round compounding
+    via the histogram branch remains (see above), which is one more
+    reason the mode stays non-default.
 
     ``fused_steps``: h-index applications per materialized round (one
     checkpoint + one action per round regardless).  Sound because the
@@ -238,7 +321,14 @@ def coreness(
     # adjacency on u; with it, frontier rounds exchange only the (small)
     # frontier-adjacent scope.  2x adjacency memory, bounded and
     # loop-local (checkpoint blocks are GC-reclaimed after return).
-    adj_by_u = adj.repartition(n_part, "u").localCheckpoint(eager=True)
+    # Only built when the pruned path can actually fire (r07: pruning
+    # is default-off, so the default run skips this full-adjacency
+    # copy entirely — build time and memory).
+    adj_by_u = (
+        adj.repartition(n_part, "u").localCheckpoint(eager=True)
+        if frontier_threshold > 0
+        else None
+    )
     sym.unpersist()
 
     start = 0
@@ -301,6 +391,9 @@ def coreness(
     iterations = start
     changes_per_iter: list[int] = []
     cores = hg.spark.sparkContext.defaultParallelism
+    inc_mode = False
+    hist_state = None  # H(u, c, _n): materialized only in incremental mode
+    delta0 = None  # (v, c_old, c_new) from the previous round's boundary
     w = (
         Window.partitionBy("u")
         .orderBy(F.col("c").desc())
@@ -327,6 +420,25 @@ def coreness(
                     values.select(F.col("u").alias("v"), "c").hint("shuffle_hash"),
                     "v",
                 ).select("u", "c")
+                if sweep == "arr":
+                    # single-exchange sweep (r07): one groupBy(u) with
+                    # collect_list, then H inline over the sorted array
+                    # (h = #{rank i: a_i >= i} for a desc-sorted).  The
+                    # hist path below pays TWO post-join exchanges —
+                    # hashpartitioning(u,c) for the histogram does NOT
+                    # satisfy the window's ClusteredDistribution(u), so
+                    # the window re-exchanges — at the price of map-side
+                    # combine; this path shuffles every neighbor value
+                    # once but runs one exchange and no sort-window.
+                    arr = nb.groupBy("u").agg(
+                        F.sort_array(F.collect_list("c"), asc=False).alias("_a")
+                    )
+                    return arr.select(
+                        "u",
+                        F.size(
+                            F.filter("_a", lambda x, i: x >= i + F.lit(1))
+                        ).cast("int").alias("_h"),
+                    )
                 # h-index from the VALUE HISTOGRAM instead of ranking
                 # every neighbor row: h(u) = max over distinct values c
                 # of min(c, #neighbors with value >= c) — the groupBy
@@ -341,7 +453,33 @@ def coreness(
                 )
 
             obs = Observation(f"coreness_{iterations}")
-            pruned = changes < frontier_threshold * n_state
+            if (
+                sweep == "auto"
+                and not inc_mode
+                and not gauss_seidel
+                and delta0 is not None
+                and changes < inc_threshold * n_state
+            ):
+                # switch permanently to incremental sweeps: build the
+                # neighbor-value histogram once (one full-pass cost),
+                # partitioned by u so every later merge/recompute
+                # probes it in place
+                inc_mode = True
+                inc_fresh = True  # H below is built from the CURRENT
+                # values, so it already reflects the last round's
+                # changes: sweep 0 of the entry round must NOT apply
+                # delta0 again (only recompute h for its neighbors)
+                nbi = adj.join(
+                    state.select(F.col("u").alias("v"), "c").hint("shuffle_hash"),
+                    "v",
+                ).select("u", "c")
+                hist_state = (
+                    nbi.groupBy("u", "c")
+                    .agg(F.count("*").alias("_n"))
+                    .repartition(n_part, "u")
+                    .localCheckpoint(eager=True)
+                )
+            pruned = (not inc_mode) and changes < frontier_threshold * n_state
             if pruned:
                 affected = (
                     adj.join(
@@ -403,9 +541,121 @@ def coreness(
                     state.select("u", F.col("c").alias("_c0"))
                     .join(cur.hint("shuffle_hash"), "u")
                     .select(
-                        "u", "c",
+                        "u", "c", "_c0",
                         (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
                     )
+                )
+            elif inc_mode:
+                # incremental sweeps (docstring): |delta|-sized work,
+                # bit-identical values to a full Jacobi sweep.  Lazy
+                # persist on the multiply-referenced per-sweep frames
+                # (dH feeds merge + touched, Hn feeds recompute + next
+                # sweep, Vn feeds values + next delta): the round's
+                # single observed action computes each once, later
+                # references hit cache; all released after the round.
+                cur_v = state.select(
+                    "u", "c", F.col("c").alias("_c0")
+                )  # carry round-start value through the sweeps so the
+                # boundary never re-joins state (stats discipline)
+                cur_h = hist_state
+                cur_d = delta0
+                transient: list[DataFrame] = []
+                for j in range(fused_steps):
+                    if j == 0 and inc_fresh:
+                        # entry round: H already reflects delta0 (built
+                        # from current values) — only the h of delta0's
+                        # neighbors needs recomputing
+                        inc_fresh = False
+                        h_new = cur_h
+                        touched = (
+                            adj.join(cur_d.hint("shuffle_hash"), "v")
+                            .select("u")
+                            .distinct()
+                        )
+                    else:
+                        d_h = (
+                            adj.join(cur_d.hint("shuffle_hash"), "v")
+                            .select(
+                                "u",
+                                F.explode(
+                                    F.array(
+                                        F.struct(
+                                            F.col("c_old").alias("c"),
+                                            F.lit(-1).cast("long").alias("_d"),
+                                        ),
+                                        F.struct(
+                                            F.col("c_new").alias("c"),
+                                            F.lit(1).cast("long").alias("_d"),
+                                        ),
+                                    )
+                                ).alias("_e"),
+                            )
+                            .select(
+                                "u", F.col("_e.c").alias("c"), F.col("_e._d").alias("_d")
+                            )
+                            .groupBy("u", "c")
+                            .agg(F.sum("_d").alias("_d"))
+                            .filter(F.col("_d") != 0)
+                            .repartition(n_part, "u")
+                            .persist()
+                        )
+                        transient.append(d_h)
+                        h_new = (
+                            cur_h.join(d_h, ["u", "c"], "full_outer")
+                            .select(
+                                "u",
+                                "c",
+                                (
+                                    F.coalesce(F.col("_n"), F.lit(0))
+                                    + F.coalesce(F.col("_d"), F.lit(0))
+                                ).alias("_n"),
+                            )
+                            .filter(F.col("_n") > 0)
+                            .persist()
+                        )
+                        transient.append(h_new)
+                        touched = d_h.select("u").distinct()
+                    ht = (
+                        h_new.join(touched.hint("shuffle_hash"), "u", "left_semi")
+                        .withColumn("_cum", F.sum("_n").over(w))
+                        .groupBy("u")
+                        .agg(
+                            F.max(F.least(F.col("c"), F.col("_cum")))
+                            .cast("int")
+                            .alias("_h")
+                        )
+                    )
+                    v_new = (
+                        cur_v.join(ht.hint("shuffle_hash"), "u", "left")
+                        .select(
+                            "u",
+                            F.coalesce("_h", F.col("c")).alias("c"),
+                            F.col("c").alias("_pv"),
+                            "_c0",
+                        )
+                        .persist()
+                    )
+                    transient.append(v_new)
+                    cur_d = v_new.filter(F.col("c") != F.col("_pv")).select(
+                        F.col("u").alias("v"),
+                        F.col("_pv").alias("c_old"),
+                        F.col("c").alias("c_new"),
+                    )
+                    cur_v = v_new.select("u", "c", "_c0")
+                    cur_h = h_new
+                # _pv rides into the materialized state: the H kept
+                # across the round boundary has the LAST sweep's input
+                # values as its basis (the final sweep's delta is never
+                # merged in-round), so the next round's first merge must
+                # apply exactly the last sweep's delta (c != _pv), NOT
+                # the round-net delta (c != _c0) — net re-applies the
+                # early sweeps' moves and corrupts the counts
+                pre = v_new.select(
+                    "u",
+                    "c",
+                    "_c0",
+                    "_pv",
+                    (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
                 )
             elif fused_steps <= 1:
                 # single-join merge: state is referenced ONCE on the
@@ -427,6 +677,7 @@ def coreness(
                     .select(
                         "u",
                         F.coalesce("_h", F.col("c")).alias("c"),
+                        F.col("c").alias("_c0"),
                         (F.coalesce("_h", F.col("c")) != F.col("c")).cast("int").alias("_ch"),
                     )
                 )
@@ -450,7 +701,7 @@ def coreness(
                     state.select("u", F.col("c").alias("_c0"))
                     .join(cur.hint("shuffle_hash"), "u")
                     .select(
-                        "u", "c",
+                        "u", "c", "_c0",
                         (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
                     )
                 )
@@ -463,11 +714,39 @@ def coreness(
                     f"[coreness] round {iterations + 1} changes={changes} "
                     f"{time.monotonic() - _t0:.2f}s"
                 )
+            if inc_mode:
+                # H persists across rounds: materialize the last fused
+                # sweep's histogram (its partitions are already cached
+                # by the observed action), then release the round's
+                # transient caches and the previous H
+                new_hist = cur_h.localCheckpoint(eager=True)
+                hist_state.unpersist()
+                for frame in transient:
+                    frame.unpersist()
+                hist_state = new_hist
             state.unpersist()
             if pruned:
                 scope.unpersist()
             state = new_state.select("u", "c")
             changed = new_state.filter(F.col("_ch") == 1).select("u")
+            if "_pv" in new_state.columns:
+                # inc rounds: H's basis is the last sweep's input —
+                # next merge applies the last sweep's delta only
+                delta0 = new_state.filter(F.col("c") != F.col("_pv")).select(
+                    F.col("u").alias("v"),
+                    F.col("_pv").alias("c_old"),
+                    F.col("c").alias("c_new"),
+                )
+            elif "_c0" in new_state.columns:
+                # full rounds: the net round delta — only ever used by
+                # the inc ENTRY round's fresh sweep, where it scopes the
+                # h recompute (superset of the last sweep's changed set
+                # by monotonicity; H there is built current, no merge)
+                delta0 = new_state.filter(F.col("_ch") == 1).select(
+                    F.col("u").alias("v"),
+                    F.col("_c0").alias("c_old"),
+                    F.col("c").alias("c_new"),
+                )
             iterations += 1
             changes_per_iter.append(changes)
             if checkpoint_dir:

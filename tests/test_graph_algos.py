@@ -567,3 +567,46 @@ def test_coreness_fused_steps_equivalent(spark):
             k, fused.iterations, base_run.iterations,
         )
     hg.unpersist()
+
+
+def test_coreness_sweep_modes_identical(spark):
+    """The three sweep implementations are the SAME Jacobi iteration:
+    "hist" (histogram + window), "arr" (single-exchange sorted-array
+    h), and "auto" (arr full sweeps, then incremental histogram
+    maintenance once the change count collapses) must produce
+    identical values — and auto must be sweep-for-sweep identical to
+    arr (same rounds, same change counts), because an incremental
+    round applies exact integer histogram deltas and recomputes h
+    only where the histogram changed (h is a function of the
+    histogram alone).  Also pins the pruned path (frontier_threshold
+    > 0, r07 default-off) to the same fixed point."""
+    from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+    from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
+
+    rows = sorted(
+        {(e, (11 * e + 3 * v) % 90) for e in range(160) for v in range(5)}
+        | {(200 + e, (e + v) % 12) for e in range(30) for v in range(4)}
+    )
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+    hg = Hypergraph.freeze(spark, inc)
+    runs = {
+        "hist": coreness(hg, sweep="hist", fused_steps=2),
+        "arr": coreness(hg, sweep="arr", fused_steps=2),
+        # inc_threshold > 1 forces the incremental switch at round 2
+        # (the first round with a delta available), so every round
+        # after the first exercises the delta path regardless of how
+        # fast the fixture converges
+        "auto": coreness(hg, sweep="auto", fused_steps=2, inc_threshold=1.1),
+        "auto_f1": coreness(hg, sweep="auto", fused_steps=1, inc_threshold=1.1),
+        "pruned": coreness(hg, sweep="hist", frontier_threshold=0.05),
+    }
+    vals = {k: sorted(map(tuple, r.coreness.collect())) for k, r in runs.items()}
+    for k in vals:
+        assert vals[k] == vals["hist"], k
+    assert runs["auto"].changes_per_iter == runs["arr"].changes_per_iter
+    assert runs["auto_f1"].changes_per_iter == coreness(
+        hg, sweep="arr", fused_steps=1
+    ).changes_per_iter
+    # at least one incremental round ran (round 2 onward is incremental)
+    assert runs["auto"].iterations >= 2
+    hg.unpersist()

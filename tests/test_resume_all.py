@@ -54,13 +54,15 @@ def test_coreness_resume(spark, tmp_path):
     from hypergraph_gpu_label_propagation_spark.operators.kcore import coreness
 
     hg = _hg(spark, seed=7, nv=60, ne=120)
-    full = coreness(hg)
+    # fused_steps pinned to 2: the r07 default (4) converges this
+    # fixture in 2 materialized rounds, too few for a real mid-run cut
+    full = coreness(hg, fused_steps=2)
     want = {r["vertex_id"]: r["coreness"] for r in full.coreness.collect()}
     assert full.iterations > 2, "fixture must need >2 rounds for a real resume"
 
     ckpt = str(tmp_path / "core")
-    coreness(hg, max_iterations=2, checkpoint_dir=ckpt)
-    resumed = coreness(hg, checkpoint_dir=ckpt, resume=True)
+    coreness(hg, max_iterations=2, checkpoint_dir=ckpt, fused_steps=2)
+    resumed = coreness(hg, checkpoint_dir=ckpt, resume=True, fused_steps=2)
     got = {r["vertex_id"]: r["coreness"] for r in resumed.coreness.collect()}
     assert got == want
     # resumed run continued from superstep 2, not from scratch

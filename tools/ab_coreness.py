@@ -43,9 +43,30 @@ VARIANTS = {
     # fused_steps_pruned — extra FULL-ADJ (exact-Jacobi) inner steps
     # once the frontier is small, trading per-round h_of passes for
     # fewer materialized-round boundaries (checkpoint + compare join).
-    "default": dict(fused_steps=2),
-    "pruned4": dict(fused_steps=2, fused_steps_pruned=4),
-    "pruned6": dict(fused_steps=2, fused_steps_pruned=6),
+    # round-7 probe: the r07 sweep-profile measurement (20 rounds, creep
+    # rounds 8-17 at ~0.85 s with 100-2500 changes) suggests the pruned
+    # path's two extra semi-join scans may cost more than they save on
+    # this dense graph (17,732 of 20,000 vertices in one 84-core, so
+    # neighbors-of-changed ~ everything); A/B never-prune vs default,
+    # plus fused depth now that rounds are cheap.
+    # round-7 findings (2 alternating reps, sf0.1 + sf1 single shot):
+    # 1. frontier pruning is a NET LOSS on dense co-occurrence graphs
+    #    (r06 default 19.9/25.8 min/med vs never-prune 16.0/16.1):
+    #    17,732 of 20,000 vertices share one 84-core, so the pruned
+    #    rounds' two extra adjacency semi-scans buy nothing.
+    # 2. the single-exchange "arr" sweep tolerates deep fusing where
+    #    "hist" does not (hist4 17.5/22.5 vs arr4 14.4-15.7; the
+    #    stacked window sorts dominate hist's fused plans).
+    # 3. incremental histogram maintenance ("auto") is EXACT and
+    #    sweep-identical to arr but loses at every in-sandbox scale:
+    #    inc rounds are a flat ~2.6-3.5 s (15-stage floor) vs 0.7 s
+    #    full rounds at sf0.1 (auto2 52-62 s vs arr2 16-20 s), and at
+    #    fused 4 the within-round stats compounding adds a planning
+    #    spiral (auto4 ~190 s).  Kept as a documented-negative mode.
+    # Shipped default = old3 -> new1 here: arr + fused 4 + no pruning.
+    "r06_default": dict(sweep="hist", fused_steps=2, frontier_threshold=0.05),
+    "shipped": dict(),
+    "auto2": dict(sweep="auto", fused_steps=2),
 }
 
 
