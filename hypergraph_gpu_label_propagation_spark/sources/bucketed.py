@@ -19,12 +19,38 @@ the join planner drops the Exchange on that side).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from hypergraph_gpu_label_propagation_spark.model import Hypergraph
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+
+def _manifest_path(spark: SparkSession, name: str) -> str:
+    return os.path.join(_warehouse_dir(spark), f"{name}._layout_manifest.json")
+
+
+def _write_manifest(spark: SparkSession, name: str, payload: dict) -> None:
+    """Atomic publish: tmp file + os.replace, same discipline as the
+    LP state dirs' atomic_swap_write.  The manifest is the dual
+    layout's both-or-neither commit record — it is DELETED before the
+    first table write starts and (re)appears only after BOTH tables
+    landed, so a crash anywhere inside write_bucketed leaves a layout
+    the reader refuses."""
+    path = _manifest_path(spark, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
 
 
 # Crossover rule for auto-choosing the durable bucketed layout over the
@@ -139,13 +165,26 @@ def write_bucketed(
     import shutil
 
     spark = incidence.sparkSession
+    by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
+    # both-or-neither protocol (r06 verdict #8): retract the layout's
+    # commit record BEFORE touching either table — from here until the
+    # manifest is re-published, freeze_from_bucketed refuses the
+    # layout, so a crash between the two table writes can never serve
+    # a half layout (new by_vertex + stale-or-missing by_edge)
+    manifest = _manifest_path(spark, name)
+    if os.path.exists(manifest):
+        os.remove(manifest)
     if iceberg_available(spark):
-        by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
         _write_iceberg_bucketed(incidence, by_vertex, buckets, "vertex_id", mode)
         _write_iceberg_bucketed(incidence, by_edge, buckets, "edge_id", mode)
+        _write_manifest(
+            spark,
+            name,
+            {"name": name, "buckets": buckets, "tables": [by_vertex, by_edge],
+             "catalog": "iceberg"},
+        )
         return by_vertex, by_edge
-    by_vertex, by_edge = f"{name}_by_vertex", f"{name}_by_edge"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    warehouse = _warehouse_dir(spark)
     for t in (by_vertex, by_edge):
         # drop both the catalog entry and any orphaned location left by
         # a previous session (the in-memory catalog forgets tables but
@@ -162,6 +201,12 @@ def write_bucketed(
         .bucketBy(buckets, "edge_id").sortBy("edge_id")
         .format("parquet").saveAsTable(by_edge)
     )
+    _write_manifest(
+        spark,
+        name,
+        {"name": name, "buckets": buckets, "tables": [by_vertex, by_edge],
+         "catalog": "builtin"},
+    )
     return by_vertex, by_edge
 
 
@@ -174,9 +219,26 @@ def freeze_from_bucketed(
 ) -> Hypergraph:
     """Rebuild a frozen Hypergraph from the bucketed tables — joins on
     vertex_id / edge_id against these scans need no Exchange on the
-    incidence side even without persist()."""
+    incidence side even without persist().
+
+    Refuses a layout whose commit manifest is absent: write_bucketed
+    retracts the manifest before its first table write and republishes
+    it only after BOTH tables landed, so a crash mid-write (half
+    layout: one new table + one stale or missing twin) is never
+    readable.  Conservative by design — a crash between the retract
+    and the first write also invalidates the (still intact) old
+    layout; rebuilding is always safe, serving mixed state never is.
+    """
     from pyspark.sql import functions as F
 
+    manifest = _manifest_path(spark, name)
+    if not os.path.exists(manifest):
+        raise ValueError(
+            f"bucketed layout {name!r} has no commit manifest at "
+            f"{manifest} — the dual-table write did not complete "
+            "(or was started and interrupted); rebuild with "
+            "write_bucketed before reading"
+        )
     by_vertex = spark.table(f"{name}_by_vertex")
     by_edge = spark.table(f"{name}_by_edge")
     if num_vertices is None or num_edges is None:

@@ -146,3 +146,50 @@ def test_write_bucketed_routes_to_iceberg_when_available(spark, monkeypatch):
     # and the Hive-bucketed stand-in tables were NOT created
     tables = {t.name for t in spark.catalog.listTables()}
     assert "t_iceberg_route_by_vertex" not in tables
+
+
+def test_bucketed_write_crash_between_tables_refuses_half_layout(spark, monkeypatch):
+    """Both-or-neither (r06 verdict #8): write_bucketed is two
+    sequential saveAsTable calls; a crash between them must leave a
+    layout the reader REFUSES instead of a silently mixed one (new
+    by_vertex + stale/missing by_edge).  Protocol: the commit manifest
+    is retracted before the first write and republished only after
+    both tables landed; freeze_from_bucketed requires it."""
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.sources import bucketed as B
+
+    rows = sorted({(e, (3 * e + v) % 40) for e in range(60) for v in range(3)})
+    inc = spark.createDataFrame(rows, "edge_id long, vertex_id long")
+
+    # a complete write reads back fine (manifest present)
+    write_bucketed(inc, "t_crash_hg", buckets=4)
+    hg = freeze_from_bucketed(spark, "t_crash_hg", num_vertices=40, num_edges=60)
+    assert hg.incidence_by_vertex.count() == len(set(rows))
+
+    # inject a crash on the SECOND table write of the overwrite
+    writer_cls = type(inc.write)
+    real_save = writer_cls.saveAsTable
+    calls = {"n": 0}
+
+    def dying_save(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between the dual writes")
+        return real_save(self, *a, **kw)
+
+    monkeypatch.setattr(writer_cls, "saveAsTable", dying_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        write_bucketed(inc.limit(30), "t_crash_hg", buckets=4)
+    monkeypatch.setattr(writer_cls, "saveAsTable", real_save)
+
+    # the half layout (fresh by_vertex, stale-dropped by_edge) must be
+    # refused even though by_vertex alone would be readable
+    with pytest.raises(ValueError, match="manifest"):
+        freeze_from_bucketed(spark, "t_crash_hg", num_vertices=40, num_edges=60)
+
+    # a subsequent clean rewrite heals the layout
+    write_bucketed(inc, "t_crash_hg", buckets=4)
+    healed = freeze_from_bucketed(spark, "t_crash_hg", num_vertices=40, num_edges=60)
+    assert healed.incidence_by_vertex.count() == len(set(rows))
+    assert B._manifest_path(spark, "t_crash_hg").endswith("_layout_manifest.json")
