@@ -236,14 +236,28 @@ def ivf_topk(
             corpus, id_col, vec_col, k=n_cells, max_iters=max_iters, seed=seed
         ).centroids
 
-    def norm(col):
-        return F.sqrt(
-            F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
-        )
+    inv = _build_inverted_file(
+        corpus, id_col, vec_col, centroids, round_dist, cell_salt
+    )
+    return _probe_topk(
+        inv, centroids, queries, id_col, vec_col,
+        k=k, nprobe=nprobe, exclude_self=exclude_self,
+        round_dist=round_dist, cell_salt=cell_salt,
+    )
 
+
+def _vec_norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def _build_inverted_file(corpus, id_col, vec_col, centroids, round_dist, cell_salt):
+    """(neighbor_id, cell, _cv, _cn) with the salt burned into cell."""
     inv = _assign(corpus, id_col, vec_col, centroids, round_dist=round_dist).join(
         corpus.select(
-            F.col(id_col), F.col(vec_col).alias("_cv"), norm(F.col(vec_col)).alias("_cn")
+            F.col(id_col), F.col(vec_col).alias("_cv"),
+            _vec_norm(F.col(vec_col)).alias("_cn"),
         ),
         id_col,
     ).select(F.col(id_col).alias("neighbor_id"), "cell", "_cv", "_cn")
@@ -253,7 +267,17 @@ def ivf_topk(
             F.col("cell") * cell_salt
             + F.pmod(F.xxhash64("neighbor_id"), F.lit(cell_salt)).cast("int"),
         )
+    return inv
 
+
+def _probe_topk(
+    inv, centroids, queries, id_col, vec_col,
+    k, nprobe, exclude_self, round_dist, cell_salt,
+):
+    """Query side of IVF: probe nprobe nearest cells per query, exact
+    cosine re-rank inside the probed cells.  ``inv`` may be the inline
+    inverted file or the durable bucketed index table — identical
+    semantics (pytest-asserted parity)."""
     # each query probes its nprobe nearest cells (sorted struct array
     # over the same centroid literal, sliced — plan stays O(n_cells))
     lit_c = F.lit(centroids)
@@ -277,7 +301,7 @@ def ivf_topk(
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col)).alias("_qn"),
+            _vec_norm(F.col(vec_col)).alias("_qn"),
         )
         .select(
             "query_id", "_qv", "_qn",
@@ -315,4 +339,146 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durable IVF index (r06 verdict #4): the inverted file is write-once at
+# 100 TB, exactly like the bucketed LP layout — build (k-means fit + one
+# corpus assignment pass) amortizes across every later query batch.
+# ---------------------------------------------------------------------------
+
+# Crossover (measured, tools/ab_ivf_index.py, BENCH_SCALING.md round 7):
+# the durable index pays one corpus assignment pass + two table writes
+# up front and saves the k-means fit + assignment on EVERY later batch.
+# Warm probes beat inline ivf_topk from the second batch on — so the
+# rule mirrors should_bucket: index when the corpus outlives one query
+# batch.  Kept as an explicit constant so callers can tune it.
+IVF_INDEX_CROSSOVER_BATCHES = 2
+
+
+def should_index(expected_query_batches: int) -> bool:
+    """True when a durable IVF index is expected to amortize (the
+    corpus will serve at least IVF_INDEX_CROSSOVER_BATCHES query
+    batches over its lifetime)."""
+    return expected_query_batches >= IVF_INDEX_CROSSOVER_BATCHES
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_iters: int = 10,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    round_dist: int | None = None,
+    cell_salt: int = 1,
+    buckets: int = 32,
+) -> str:
+    """Persist the IVF index as a durable layout: the inverted file
+    (neighbor_id, cell, _cv, _cn) bucketed+sorted by cell — so the
+    probe equi-join needs no Exchange on the corpus side — plus the
+    k x dim centroid table, under the same both-or-neither commit
+    manifest as the bucketed LP layout (the manifest also carries
+    cell_salt / n_cells / round_dist so probes can never run with
+    mismatched parameters).  Returns ``name``."""
+    import shutil
+
+    from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
+        _manifest_path,
+        _warehouse_dir,
+        _write_manifest,
+    )
+
+    if cell_salt < 1:
+        raise ValueError(f"cell_salt must be >= 1, got {cell_salt}")
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, id_col, vec_col, k=n_cells, max_iters=max_iters, seed=seed
+        ).centroids
+    inv_table, cent_table = f"{name}_ivf_inv", f"{name}_ivf_centroids"
+    manifest = _manifest_path(spark, name)
+    import os
+
+    if os.path.exists(manifest):
+        os.remove(manifest)
+    warehouse = _warehouse_dir(spark)
+    for t in (inv_table, cent_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    inv = _build_inverted_file(
+        corpus, id_col, vec_col, centroids, round_dist, cell_salt
+    )
+    (
+        inv.write.mode("overwrite")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(inv_table)
+    )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet").saveAsTable(cent_table)
+    )
+    _write_manifest(
+        spark,
+        name,
+        {
+            "name": name, "kind": "ivf", "tables": [inv_table, cent_table],
+            "n_cells": len(centroids), "cell_salt": cell_salt,
+            "round_dist": round_dist, "buckets": buckets,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+    )
+    return name
+
+
+def ivf_topk_from_index(
+    spark,
+    name: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a durable IVF index written by :func:`write_ivf_index`:
+    loads the centroid table (k x dim, driver-side literal exactly as
+    the inline path), reads the bucketed inverted file, and runs the
+    shared probe plan — results are row-identical to inline
+    :func:`ivf_topk` with the same centroids (pytest parity), the only
+    difference is that the corpus side is a bucketed scan instead of a
+    recomputed assignment.  Refuses an index whose commit manifest is
+    missing (half-written layouts are unreadable by construction)."""
+    import json
+    import os
+
+    from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
+        _manifest_path,
+    )
+
+    manifest = _manifest_path(spark, name)
+    if not os.path.exists(manifest):
+        raise ValueError(
+            f"IVF index {name!r} has no commit manifest at {manifest} — "
+            "the index write did not complete; rebuild with write_ivf_index"
+        )
+    with open(manifest) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"layout {name!r} is not an IVF index: {meta}")
+    n_cells, cell_salt = int(meta["n_cells"]), int(meta["cell_salt"])
+    if nprobe < 1 or nprobe > n_cells:
+        raise ValueError(f"nprobe must be in [1, {n_cells}], got {nprobe}")
+    cent_rows = spark.table(f"{name}_ivf_centroids").orderBy("cell").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    inv = spark.table(f"{name}_ivf_inv")
+    return _probe_topk(
+        inv, centroids, queries, id_col, vec_col,
+        k=k, nprobe=nprobe, exclude_self=exclude_self,
+        round_dist=meta.get("round_dist"), cell_salt=cell_salt,
     )

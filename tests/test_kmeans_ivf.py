@@ -144,3 +144,62 @@ def test_ivf_cell_salt_exact_and_still_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with _pytest.raises(ValueError, match="cell_salt"):
         ivf_topk(df, queries, cell_salt=0, **kw)
+
+
+def test_ivf_durable_index_parity_and_crash_safety(spark, monkeypatch):
+    """r07 (verdict #4): the durable IVF index (inverted file bucketed
+    by cell + centroid table + commit manifest) must return ROW-
+    IDENTICAL results to inline ivf_topk with the same centroids; the
+    probe join against the bucketed scan must stay an equi-join; and a
+    half-written index (crash between the two table writes) must be
+    refused, same both-or-neither protocol as the bucketed LP layout."""
+    import pytest as _pytest
+
+    from hypergraph_gpu_label_propagation_spark.operators.kmeans import (
+        ivf_topk_from_index,
+        should_index,
+        write_ivf_index,
+    )
+
+    df, _ = _clustered_df(spark)
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+    common = dict(k=4, nprobe=2)
+    # salt >1 so the index round-trips the salt through the manifest
+    write_ivf_index(df, "t_ivf_idx", n_cells=N_CLUSTERS, seed=7, cell_salt=2)
+    cent = sorted(
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.table("t_ivf_idx_ivf_centroids").collect()
+    )
+    centroids = [list(c) for _, c in cent]
+    inline = ivf_topk(
+        df, queries, n_cells=N_CLUSTERS, centroids=centroids,
+        cell_salt=2, **common,
+    )
+    from_index = ivf_topk_from_index(spark, "t_ivf_idx", queries, **common)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+    plan = explain_str(from_index)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    # crossover rule: index from the second query batch on
+    assert not should_index(1) and should_index(2)
+
+    # crash between the inverted-file write and the centroid write ->
+    # the manifest is absent and the reader refuses the index
+    writer_cls = type(df.write)
+    real_save = writer_cls.saveAsTable
+    calls = {"n": 0}
+
+    def dying_save(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid index write")
+        return real_save(self, *a, **kw)
+
+    monkeypatch.setattr(writer_cls, "saveAsTable", dying_save)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        write_ivf_index(df, "t_ivf_idx", n_cells=N_CLUSTERS, seed=7, cell_salt=2)
+    monkeypatch.setattr(writer_cls, "saveAsTable", real_save)
+    with _pytest.raises(ValueError, match="manifest"):
+        ivf_topk_from_index(spark, "t_ivf_idx", queries, **common)
