@@ -104,7 +104,17 @@ def _farthest_point_init(
     random init fails ~90% of the time; farthest-point provably picks
     one per cluster when clusters are separated).  At 100 TB run this
     over a hash-sampled subset — the init only needs cluster-level
-    coverage, not every row."""
+    coverage, not every row.
+
+    Cost shape (r07): a running min-distance column updated against
+    only the NEWEST centroid each step — O(k * dim * n) total, vs the
+    naive per-step re-scan against the whole chosen set (O(k^2) which
+    timed out the sf1 frontier run).  Selection is bit-identical to the
+    naive form: min is arithmetic-free so `least()` chaining equals
+    `array_min` over the full set, and the (d desc, id asc) tie-break
+    is unchanged.  Each step eagerly localCheckpoints the n-row state
+    so lineage never re-executes earlier updates (rebinding releases
+    the superseded blocks; see label_propagation.py:311)."""
     first = (
         df.select(id_col, vec_col)
         .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))))
@@ -114,14 +124,16 @@ def _farthest_point_init(
     if not first:
         raise ValueError("corpus is empty")
     centroids = [[float(x) for x in first[0][vec_col]]]
+    if k == 1:
+        return centroids
+    state = df.select(
+        F.col(id_col).alias("_fid"),
+        F.col(vec_col).alias("_fvec"),
+        _sq_dist(F.col(vec_col), F.lit(centroids[0])).alias("_d"),
+    ).localCheckpoint(eager=True)
     for _ in range(k - 1):
-        lit_c = F.lit(centroids)
-        min_d = F.array_min(
-            F.transform(lit_c, lambda c: _sq_dist(F.col(vec_col), c))
-        )
         far = (
-            df.select(id_col, vec_col, min_d.alias("_d"))
-            .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+            state.orderBy(F.col("_d").desc(), F.col("_fid").asc())
             .limit(1)
             .collect()
         )
@@ -130,7 +142,16 @@ def _farthest_point_init(
                 f"corpus has fewer than k={k} distinct vectors "
                 f"(only {len(centroids)} found)"
             )
-        centroids.append([float(x) for x in far[0][vec_col]])
+        centroids.append([float(x) for x in far[0]["_fvec"]])
+        if len(centroids) == k:
+            break
+        state = state.select(
+            "_fid",
+            "_fvec",
+            F.least(
+                F.col("_d"), _sq_dist(F.col("_fvec"), F.lit(centroids[-1]))
+            ).alias("_d"),
+        ).localCheckpoint(eager=True)
     return centroids
 
 
