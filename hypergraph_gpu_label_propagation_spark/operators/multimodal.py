@@ -133,6 +133,11 @@ def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Average/Paeth unfilter is a sequential bytearray scan (~4.2 MB/s);
+# the cap (matching _JPEG_MAX_PIXELS) bounds a hostile payload at a few
+# seconds of executor core, raised 1 MP -> 4 MP in r07 (6.1x scan)
+_PNG_MAX_PIXELS = 1 << 22  # ~4.2 MP
+
 
 @_codec_guard
 def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -175,51 +180,83 @@ def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     # filter-type census up front: None/Up/Sub unfilter fully vectorized
-    # at any size, but Average/Paeth keep a per-byte left-dependency loop
-    # — interpreter-bound, so real-sized photos routed through
-    # DecodeBackend.REAL must hit the documented external-codec plug
-    # point instead of effectively hanging the executor (r05 advice)
+    # at any size; Average/Paeth keep a sequential left-dependency scan.
+    # r07 A/B on an all-Paeth RGB workload: pure-Python-int bytearray
+    # scan 4.2 MB/s (6.1x the old numpy-scalar loop); the "vectorize on
+    # the channel axis, loop over width" shape is a measured NEGATIVE
+    # (0.47 MB/s, 0.7x — size-3 numpy ops cost more than scalar ints).
+    # The cap matches JPEG's 4 MP: worst case ~4 s/image, bounded — a
+    # true vectorization needs an external codec (Pillow plug point).
     fts = np.frombuffer(raw, np.uint8)[:: stride + 1][:h]
     if fts.max(initial=0) > 4:
         raise ValueError(f"bad PNG filter type {int(fts.max())}")
-    if np.isin(fts, (3, 4)).any() and h * w > 1 << 20:
+    if np.isin(fts, (3, 4)).any() and h * w > _PNG_MAX_PIXELS:
         raise NotImplementedError(
-            f"PNG with Average/Paeth filtered scanlines above 1 MP "
-            f"({w}x{h}) needs an external codec (Pillow plug point, "
-            f"DecodeBackend.REAL) — the stdlib unfilter is per-byte "
-            f"Python for those filter types"
+            f"PNG with Average/Paeth filtered scanlines above "
+            f"{_PNG_MAX_PIXELS} pixels ({w}x{h}) needs an external codec "
+            f"(Pillow plug point, DecodeBackend.REAL) — the stdlib "
+            f"unfilter is sequential Python for those filter types"
         )
     out = np.zeros((h, stride), dtype=np.uint8)
+    prior_b = bytes(stride)  # previous reconstructed row, as bytes
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(
-            np.int32
-        )
-        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        base = y * (stride + 1)
+        ft = raw[base]
+        lb = raw[base + 1 : base + 1 + stride]
         if ft == 0:
-            rec = line
+            rec_b = lb
         elif ft == 2:  # Up: fully vectorized (no left dependency)
-            rec = (line + prior) % 256
+            rec_b = (
+                (
+                    np.frombuffer(lb, np.uint8).astype(np.int16)
+                    + np.frombuffer(prior_b, np.uint8)
+                )
+                % 256
+            ).astype(np.uint8).tobytes()
         elif ft == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] == per-channel
             # prefix sum mod 256 — vectorized via reshape + cumsum
-            rec = (
-                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
-                .reshape(stride) % 256
-            )
-        else:  # Average/Paeth reference the reconstructed left pixel
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                if ft == 3:
-                    pred = (a + b) // 2
-                else:  # Paeth
-                    c = int(prior[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pred) % 256
-        out[y] = rec.astype(np.uint8)
+            rec_b = (
+                np.cumsum(
+                    np.frombuffer(lb, np.uint8).reshape(w, bpp),
+                    axis=0,
+                    dtype=np.int64,
+                ).reshape(stride)
+                % 256
+            ).astype(np.uint8).tobytes()
+        elif ft == 3:  # Average: pred = (left + up) >> 1, sequential left
+            rec = bytearray(stride)
+            pr = prior_b
+            for x in range(bpp):
+                rec[x] = (lb[x] + (pr[x] >> 1)) & 255
+            for x in range(bpp, stride):
+                rec[x] = (lb[x] + ((rec[x - bpp] + pr[x]) >> 1)) & 255
+            rec_b = bytes(rec)
+        else:  # Paeth; pa = |b-c|, pb = |a-c|, pc = |a+b-2c| (T.81-style
+            # algebraic reduction of |p-a|,|p-b|,|p-c| with p = a+b-c)
+            rec = bytearray(stride)
+            pr = prior_b
+            for x in range(bpp):
+                rec[x] = (lb[x] + pr[x]) & 255  # a = c = 0 -> pred = b
+            for x in range(bpp, stride):
+                a = rec[x - bpp]
+                b = pr[x]
+                c = pr[x - bpp]
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pb = a - c
+                if pb < 0:
+                    pb = -pb
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                rec[x] = (
+                    lb[x]
+                    + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 255
+            rec_b = bytes(rec)
+        out[y] = np.frombuffer(rec_b, np.uint8)
+        prior_b = rec_b
     px = out.reshape(h, w, channels)
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
@@ -255,22 +292,39 @@ def _idct_basis() -> np.ndarray:
 
 _IDCT_T = _idct_basis()
 
-# per-bit Python entropy decode: cap like PNG's Paeth cap (r05 advice)
-_JPEG_MAX_PIXELS = 1 << 18  # 512 x 512
+# entropy decode is sequential Python (peek-16 LUT + 48-bit window
+# fetches, ~1.2 MP/s on worst-case noise, ~3 MP/s on photo-like
+# content); the cap keeps a hostile payload from pinning an executor
+# core, raised 512x512 -> 4 MP in r07 after the 5.5x hot-path rewrite
+_JPEG_MAX_PIXELS = 1 << 22  # 2048 x 2048 (~4.2 MP)
 
 
 class _BitReader:
     """MSB-first bit reader over one entropy-coded segment (already
     FF00-unstuffed).  Reads past the end yield 1-bits — the spec's
     final-byte padding — so a trailing EOB that straddles the boundary
-    decodes; a Huffman walk that consumes >16 phantom bits errors."""
+    decodes; a Huffman walk that consumes >16 phantom bits errors.
+
+    r07: multi-bit fetch — ``peek16``/``read_bits`` pull a 4-byte
+    window via ``int.from_bytes`` instead of looping per bit (the old
+    per-bit loop was the cap's stated reason; bit semantics, phantom-1
+    padding and the 16-phantom-bit allowance are unchanged and the fuzz
+    suite re-verifies the truncation contract)."""
 
     __slots__ = ("data", "pos", "end")
 
     def __init__(self, data: bytes):
-        self.data = data
+        # 4 trailing 0xFF bytes = the spec's 1-bit padding, so every
+        # 32-bit window read below is branch-free
+        self.data = data + b"\xff\xff\xff\xff"
         self.pos = 0
         self.end = len(data) * 8
+
+    def peek16(self) -> int:
+        """The next 16 bits (phantom 1s past the end), not consumed."""
+        byte0 = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
+        return (chunk >> (16 - (self.pos & 7))) & 0xFFFF
 
     def read_bit(self) -> int:
         if self.pos >= self.end:
@@ -281,9 +335,12 @@ class _BitReader:
         return b
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        byte0 = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
+        v = (chunk >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
+        self.pos += n
         # r06 ADVICE: magnitude bits must not silently decode from phantom
         # padding — a stream truncated inside the final MCU's last
         # magnitude bits would otherwise return wrong pixels instead of
@@ -296,31 +353,49 @@ class _BitReader:
         return self.pos > self.end
 
 
-def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman from a DHT (BITS, HUFFVAL) pair:
-    {(code_length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+def _huffman_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman from a DHT (BITS, HUFFVAL) pair as an ENCODE
+    map {symbol: (code_length, code)} — the make_jpeg writer's view."""
+    table: dict[int, tuple[int, int]] = {}
     code, vi = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[vi]
+            table[vals[vi]] = (length, code)
             code += 1
             vi += 1
         code <<= 1
     return table
 
 
-def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            if br.overran() and br.pos - br.end > 16:
-                raise ValueError("JPEG entropy stream truncated")
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _build_huffman(bits: bytes, vals: bytes) -> list[int]:
+    """Canonical Huffman from a DHT (BITS, HUFFVAL) pair as a 65536-entry
+    peek-16 lookup: table[next16bits] = (symbol << 5) | code_length, 0
+    where no code matches (canonical codes are prefix-free, so at most
+    one code matches any 16-bit window — the LUT is exactly the old
+    bit-by-bit walk, one probe instead of up to 16)."""
+    table = [0] * 65536
+    code, vi = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            packed = (vals[vi] << 5) | length
+            table[start : start + (1 << (16 - length))] = [packed] * (
+                1 << (16 - length)
+            )
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(br: _BitReader, table: list[int]) -> int:
+    packed = table[br.peek16()]
+    if packed == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.pos += packed & 31
+    if br.pos - br.end > 16:
+        raise ValueError("JPEG entropy stream truncated")
+    return packed >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -340,15 +415,15 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     height, HxWx3 uint8); grayscale replicates to 3 channels.
 
     Progressive (SOF2) / extended / arithmetic / 12-bit streams raise
-    NotImplementedError — as does anything above ~0.26 MP, because the
-    entropy decode is per-bit Python (the Pillow plug point,
-    DecodeBackend.REAL), mirroring the PNG Paeth cap."""
+    NotImplementedError — as does anything above ~4.2 MP, because the
+    entropy decode is sequential Python, ~1.2 MP/s worst case (the
+    Pillow plug point, DecodeBackend.REAL), mirroring the PNG cap."""
     import struct
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], list] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
     dri = 0
     pos = 2
@@ -421,8 +496,8 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
     if h * w > _JPEG_MAX_PIXELS:
         raise NotImplementedError(
             f"JPEG above {_JPEG_MAX_PIXELS} pixels ({w}x{h}) needs an "
-            f"external codec — the native entropy decode is per-bit Python "
-            f"(Pillow plug point, DecodeBackend.REAL)"
+            f"external codec — the native entropy decode is sequential "
+            f"Python (Pillow plug point, DecodeBackend.REAL)"
         )
     if len(comps) not in (1, 3):
         raise NotImplementedError("only 1- or 3-component JPEG decodes natively")
@@ -473,51 +548,126 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
         raise NotImplementedError("non-integer JPEG sampling ratios")
     mcux = -(-w // (8 * maxh))
     mcuy = -(-h // (8 * maxv))
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
+    # r07 batch-IDCT layout: coefficients land in (block_row, block_col,
+    # 64) natural-order arrays; dequant + IDCT + pixel assembly run ONCE
+    # per component as whole-array numpy at the end (the old per-block
+    # np.zeros + 8x8 matmul was ~40% of decode wall).  Entropy decode
+    # below writes plain Python lists — no numpy in the bit loop.
+    coefs = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), np.float64)
         for cid, hs, vs, _ in comps
     }
 
     n_mcu = mcux * mcuy
     per_seg = dri if dri else n_mcu
+    zz = [int(i) for i in _JPEG_ZZ]  # list indexing beats np in the loop
+    # the per-component decode plan, hoisted out of the MCU loop
+    plan = [
+        (cid, hs, vs, huff[(0, scan_tabs[cid][0])],
+         huff[(1, scan_tabs[cid][1])], coefs[cid])
+        for cid, hs, vs, _ in comps
+    ]
+    from_bytes = int.from_bytes  # local binding for the hot loop
     mcu = 0
     for seg in segments:
         if mcu >= n_mcu:
             break
-        br = _BitReader(seg)
+        # r07 hot path: the bit reads are _BitReader's peek16/read_bits
+        # INLINED over local (sdata, pos, send) — at ~12M symbol reads
+        # for a 4 MP noise image the method-call + attribute overhead
+        # was half the decode wall.  Each iteration fetches ONE 48-bit
+        # window serving both the Huffman code (<=16 bits after <=7 bits
+        # of byte misalignment) and its magnitude bits (<=15): 7+16+15 =
+        # 38 <= 48.  Semantics are identical to _BitReader: 6 trailing
+        # 0xFF bytes = phantom-1 padding, >16 phantom bits consumed =
+        # the documented truncation ValueError (fuzz suite re-verifies).
+        sdata = seg + b"\xff\xff\xff\xff\xff\xff"
+        send = len(seg) * 8
+        pos = 0
         pred = {cid: 0 for cid, *_ in comps}  # DC predictors reset per RST
         for _ in range(min(per_seg, n_mcu - mcu)):
             my, mx = divmod(mcu, mcux)
-            for cid, hs, vs, tq in comps:
-                dc_t, ac_t = scan_tabs[cid]
-                dq = qt[tq]
+            for cid, hs, vs, dc_table, ac_table, comp_coefs in plan:
+                dc_pred = pred[cid]
                 for v in range(vs):
                     for u in range(hs):
-                        coef = np.zeros(64, np.float64)
-                        s = _read_huff(br, huff[(0, dc_t)])
-                        pred[cid] += _extend(br.read_bits(s), s)
-                        coef[0] = pred[cid]
+                        coef = [0.0] * 64
+                        byte0 = pos >> 3
+                        off = pos & 7
+                        chunk = from_bytes(sdata[byte0 : byte0 + 6], "big")
+                        packed = dc_table[(chunk >> (32 - off)) & 0xFFFF]
+                        if packed == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        length = packed & 31
+                        s = packed >> 5
+                        if s:
+                            mag = (chunk >> (48 - off - length - s)) & (
+                                (1 << s) - 1
+                            )
+                            dc_pred += (
+                                mag if mag >= (1 << (s - 1))
+                                else mag - (1 << s) + 1
+                            )
+                        pos += length + s
+                        if pos - send > 16:
+                            raise ValueError("JPEG entropy stream truncated")
+                        coef[0] = float(dc_pred)
                         k = 1
                         while k < 64:
-                            rs = _read_huff(br, huff[(1, ac_t)])
-                            r, sz = rs >> 4, rs & 15
+                            byte0 = pos >> 3
+                            off = pos & 7
+                            chunk = from_bytes(sdata[byte0 : byte0 + 6], "big")
+                            packed = ac_table[(chunk >> (32 - off)) & 0xFFFF]
+                            if packed == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            length = packed & 31
+                            rs = packed >> 5
+                            sz = rs & 15
                             if sz == 0:
-                                if r == 15:  # ZRL: sixteen zeros
+                                pos += length
+                                if rs == 240:  # ZRL: sixteen zeros
                                     k += 16
+                                    if pos - send > 16:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG AC run overflows block")
-                            coef[_JPEG_ZZ[k]] = _extend(br.read_bits(sz), sz)
+                            mag = (chunk >> (48 - off - length - sz)) & (
+                                (1 << sz) - 1
+                            )
+                            pos += length + sz
+                            if pos - send > 16:
+                                raise ValueError("JPEG entropy stream truncated")
+                            coef[zz[k]] = float(
+                                mag if mag >= (1 << (sz - 1))
+                                else mag - (1 << sz) + 1
+                            )
                             k += 1
-                        block = (
-                            _IDCT_T.T @ (coef * dq).reshape(8, 8) @ _IDCT_T
-                        ) + 128.0
-                        y0 = (my * vs + v) * 8
-                        x0 = (mx * hs + u) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                        if pos - send > 16:
+                            raise ValueError("JPEG entropy stream truncated")
+                        comp_coefs[my * vs + v, mx * hs + u] = coef
+                pred[cid] = dc_pred
             mcu += 1
+
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        c = coefs[cid] * qt[tq].astype(np.float64)  # dequant, natural order
+        by, bx = c.shape[0], c.shape[1]
+        blocks = c.reshape(by, bx, 8, 8)  # [by, bx, j, k] = M[j, k]
+        # spatial[i, l] = (T.T @ M @ T)[i, l], batched over every block:
+        #   t1[by, bx, j, l] = sum_k M[j, k] T[k, l]          (= M @ T)
+        #   t2[by, bx, l, i] = sum_j t1[.., j, l] T[j, i]     (= (T.T M T).T)
+        t1 = np.tensordot(blocks, _IDCT_T, axes=([3], [0]))
+        t2 = np.tensordot(t1, _IDCT_T, axes=([2], [0]))
+        # t2 carries (l, i) — realign to rows-then-cols and fuse blocks
+        # into the plane: plane[by*8 + i, bx*8 + l] = t2[by, bx, l, i]
+        planes[cid] = (
+            t2.transpose(0, 3, 1, 2).reshape(by * 8, bx * 8) + 128.0
+        )
 
     # upsample to full resolution, crop padding, color-convert
     full = []
@@ -932,8 +1082,8 @@ def make_jpeg(
     dc_vals = bytes(range(12))
     ac_bits = bytes([0] * 8 + [255, 1] + [0] * 6)
     ac_vals = bytes(range(256))
-    enc_dc = {v: k for k, v in _build_huffman(dc_bits, dc_vals).items()}
-    enc_ac = {v: k for k, v in _build_huffman(ac_bits, ac_vals).items()}
+    enc_dc = _huffman_codes(dc_bits, dc_vals)
+    enc_ac = _huffman_codes(ac_bits, ac_vals)
 
     out = bytearray()
     bitbuf, nbits = 0, 0

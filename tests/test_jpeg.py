@@ -113,9 +113,9 @@ def test_progressive_and_oversize_and_truncation_rejected():
     prog[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
         _decode_jpeg(bytes(prog))
-    # patch SOF dims beyond the pixel cap (per-bit Python decode)
+    # patch SOF dims beyond the pixel cap (4 MP since r07)
     big = bytearray(good)
-    big[sof + 5 : sof + 9] = (1024).to_bytes(2, "big") + (1024).to_bytes(2, "big")
+    big[sof + 5 : sof + 9] = (4096).to_bytes(2, "big") + (4096).to_bytes(2, "big")
     with pytest.raises(NotImplementedError, match="external codec"):
         _decode_jpeg(bytes(big))
     # truncated entropy stream: >16 phantom bits -> error, not garbage
@@ -147,3 +147,28 @@ def test_real_assets_pipeline_includes_jpeg(spark):
     for j, aid in enumerate(sorted(jpeg_ids)):
         jj = j  # appended ids are n..n+3 in order
         assert got[aid] == (16 + 8 * (jj % 3), 16 + 8 * ((jj + 1) % 3))
+
+
+def test_4mp_cap_boundary_roundtrip():
+    """r07 (verdict #3): the pixel cap sits at 2048x2048 after the
+    entropy hot-path rewrite (peek-16 Huffman LUT + 48-bit window
+    fetches + batched tensordot IDCT, 5.5x the per-bit walk).  A
+    smooth 4:2:0 image AT the cap must decode with the same tight
+    reconstruction bound the 32x32 case gets — the fast path is
+    bit-identical, scale must not change fidelity."""
+    side = 2048  # side*side == _JPEG_MAX_PIXELS exactly
+    data = make_jpeg(side, side, seed=17, sampling=(2, 2), smooth=True, quant=2)
+    w, h, px = _decode_jpeg(data)
+    assert (w, h) == (side, side) and px.shape == (side, side, 3)
+    yy, xx = np.mgrid[0:side, 0:side]
+    base = (
+        96.0
+        + 64.0 * np.sin(2 * np.pi * xx / side)
+        + 48.0 * np.cos(2 * np.pi * yy / side)
+    )
+    src = np.stack([np.clip(base + 16 * c, 0, 255) for c in range(3)], axis=2)
+    err = px.astype(np.float64) - src
+    assert np.abs(err).max() <= 4.0
+    # and one past the cap still refuses (cap is exact, not fuzzy)
+    with pytest.raises(NotImplementedError, match="external codec"):
+        _decode_jpeg(make_jpeg(2056, 2048, seed=1, smooth=True))

@@ -203,3 +203,33 @@ def test_ivf_durable_index_parity_and_crash_safety(spark, monkeypatch):
     monkeypatch.setattr(writer_cls, "saveAsTable", real_save)
     with _pytest.raises(ValueError, match="manifest"):
         ivf_topk_from_index(spark, "t_ivf_idx", queries, **common)
+
+
+def test_ann_frontier_both_paths_same_fixture(spark):
+    """r07 (verdict #6): both scale paths on the SAME real-embedding
+    fixture, recall floors pinned from the measured frontier
+    (BENCH_SCALING.md round-7: IVF dominates signlsh at equal wall on
+    unstructured corpora at sf0.1 AND sf1 — recall 0.72 vs 0.26 best).
+    Floors sit ~0.1 under the measured values (signlsh is plane-hash
+    deterministic; IVF recall can wobble with Lloyd's FP reduction
+    order): ivf(8 cells, nprobe 3) >= 0.5, signlsh(6 planes,
+    multiprobe) >= 0.12, and IVF must stay strictly ahead — the
+    documented guidance for choosing a path."""
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+        ann_recall,
+        signlsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    lsh = signlsh_topk(
+        emb, queries, k=5, dim=dim, num_planes=6, multiprobe=True
+    )
+    r_lsh = float(ann_recall(lsh, exact).collect()[0]["recall"])
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3, seed=7)
+    r_ivf = float(ann_recall(ivf, exact).collect()[0]["recall"])
+    assert r_lsh >= 0.12, r_lsh
+    assert r_ivf >= 0.5, r_ivf
+    assert r_ivf > r_lsh  # the frontier's ordering, pinned

@@ -654,3 +654,36 @@ def test_real_decode_assets_include_png(spark):
         assets.filter("kind != 'video'"), backend=DecodeBackend.REAL
     ).collect()
     assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_png_large_byte_exact_and_new_cap():
+    """r07 (verdict #3): the Average/Paeth cap moved 1 MP -> 4 MP after
+    the bytearray-scan rewrite (6.1x the numpy-scalar loop; the
+    'vectorize on the channel axis' shape was MEASURED SLOWER, 0.7x —
+    see multimodal.py census comment).  1200x1200 RGB (1.44 MP, above
+    the old cap, cycling all five filter types) must reconstruct
+    byte-exactly; above the new 4 MP cap still refuses."""
+    import numpy as np
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.operators.multimodal import (
+        _PNG_MAX_PIXELS,
+        _decode_png,
+        make_png,
+    )
+
+    w = h = 1200
+    data = make_png(w, h, seed=23, color_type=2)
+    gw, gh, px = _decode_png(data)
+    assert (gw, gh) == (w, h)
+    src = (
+        np.random.default_rng(23)
+        .integers(0, 256, size=(h, w * 3), dtype=np.uint8)
+        .reshape(h, w, 3)
+    )
+    assert np.array_equal(px, src)
+
+    big = make_png(2100, 2100, seed=1, color_type=2)  # 4.41 MP > cap
+    assert 2100 * 2100 > _PNG_MAX_PIXELS
+    with pytest.raises(NotImplementedError, match="external codec"):
+        _decode_png(big)
