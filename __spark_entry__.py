@@ -482,11 +482,39 @@ def q_triangles_per_vertex(spark, sf_dir):
 
 
 def q_near_dup(spark, sf_dir):
-    from hypergraph_gpu_label_propagation_spark.operators.dedup import near_dup_pairs
+    """r07 tagged union: the near-dup PAIR view (verbatim r04-r06 row)
+    plus the fuzzy-dedup CLUSTER view built on the SAME pair frame
+    (dedup_clusters: min-label CC over the pair graph, keeper = min id,
+    singletons keep themselves).  The pair frame is eagerly
+    localCheckpointed so the minhash pipeline runs once for both tags
+    (CC references pairs iteratively — multi-reference lineage would
+    otherwise recompute it per round)."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import (
+        dedup_clusters,
+        near_dup_pairs,
+    )
 
-    return near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.05
-    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.05
+    ).localCheckpoint(eager=True)
+    clusters = dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+    return (
+        pairs.select(
+            F.lit("pair").alias("tag"),
+            F.col("id_a").cast("long").alias("k1"),
+            F.col("id_b").cast("long").alias("k2"),
+            F.col("jaccard").cast("double").alias("val"),
+        )
+        .unionByName(
+            clusters.select(
+                F.lit("cluster").alias("tag"),
+                F.col("doc_id").cast("long").alias("k1"),
+                F.col("cluster_id").cast("long").alias("k2"),
+                F.col("keep").cast("double").alias("val"),
+            )
+        )
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -2279,7 +2307,14 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "FROM uni u2 LEFT JOIN per USING (vertex_id)"
         ),
         "near_dup": (
-            f"WITH {_sql_minhash_sig_cte()}, "
+            # r07 tagged union: 'pair' = the r04-r06 near-dup row
+            # verbatim (CTE np); 'cluster' = fuzzy-dedup components
+            # over np (transitive-closure min per doc, the recursive-
+            # CTE shape shared with edges_cc), keeper flag as DOUBLE.
+            # adj is SELECT DISTINCT over UNION ALL, not UNION — inside
+            # WITH RECURSIVE DuckDB does not globally dedup a plain
+            # UNION in a non-recursive CTE (r03 gotcha).
+            f"WITH RECURSIVE {_sql_minhash_sig_cte()}, "
             "bands AS ("
             + " UNION ALL ".join(
                 f"SELECT doc_id, {j} AS band, md5(CAST(mh{2*j} AS VARCHAR) || ',' || "
@@ -2293,12 +2328,26 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
             "com AS (SELECT c.id_a, c.id_b, COUNT(*) AS nc FROM cand c "
             "  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b "
-            "  AND a.shingle = b.shingle GROUP BY 1, 2) "
-            "SELECT CAST(com.id_a AS BIGINT) AS id_a, CAST(com.id_b AS BIGINT) AS id_b, "
-            "ROUND(nc / (sa.n + sb.n - nc), 6) AS jaccard "
-            "FROM com JOIN sz sa ON com.id_a = sa.doc_id "
-            "JOIN sz sb ON com.id_b = sb.doc_id "
-            "WHERE ROUND(nc / (sa.n + sb.n - nc), 6) >= 0.05"
+            "  AND a.shingle = b.shingle GROUP BY 1, 2), "
+            "np AS (SELECT CAST(com.id_a AS BIGINT) AS id_a, "
+            "  CAST(com.id_b AS BIGINT) AS id_b, "
+            "  ROUND(nc / (sa.n + sb.n - nc), 6) AS jaccard "
+            "  FROM com JOIN sz sa ON com.id_a = sa.doc_id "
+            "  JOIN sz sb ON com.id_b = sb.doc_id "
+            "  WHERE ROUND(nc / (sa.n + sb.n - nc), 6) >= 0.05), "
+            "adj AS (SELECT DISTINCT u, v FROM (SELECT id_a AS u, id_b AS v "
+            "  FROM np UNION ALL SELECT id_b, id_a FROM np)), "
+            "reach(u, v) AS (SELECT u, v FROM adj "
+            "  UNION SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u), "
+            "comp AS (SELECT u, MIN(v) AS c FROM reach GROUP BY u) "
+            "SELECT 'pair' AS tag, id_a AS k1, id_b AS k2, jaccard AS val "
+            "FROM np "
+            "UNION ALL "
+            "SELECT 'cluster' AS tag, CAST(d.doc_id AS BIGINT) AS k1, "
+            "CAST(LEAST(d.doc_id, COALESCE(comp.c, d.doc_id)) AS BIGINT) AS k2, "
+            "CAST(CASE WHEN d.doc_id = LEAST(d.doc_id, "
+            "COALESCE(comp.c, d.doc_id)) THEN 1 ELSE 0 END AS DOUBLE) AS val "
+            "FROM documents d LEFT JOIN comp ON d.doc_id = comp.u"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "

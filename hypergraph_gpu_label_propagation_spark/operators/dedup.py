@@ -420,3 +420,61 @@ def embedding_cosine_dup_pairs_exact(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup clustering (pairs -> components -> canonical keeper)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The stage AFTER near-dup pair generation in a production dedup
+    pipeline (the shape of Lee et al. 2022 / BigQuery-style fuzzy
+    dedup): near-duplication is transitive in intent — if A~B and B~C
+    all three are one duplicate family even when A~C misses the
+    threshold — so group pairs into connected components and keep ONE
+    canonical document per component.
+
+    Returns (doc_id, cluster_id, keep): ``cluster_id`` = the MIN doc
+    id of the component (min-label CC fixed point), ``keep`` = this is
+    the canonical survivor.  Documents with no verified near-dup
+    partner are singleton clusters (keep = true).
+
+    100 TB shape: CC runs on the PAIR graph only — verified near-dup
+    pairs are a vanishing fraction of the corpus, so the iterative part
+    touches a tiny frame; the corpus appears once, in a single
+    left join from (id) onto the component map.  Pass ``pairs=`` to
+    reuse an already-materialized ``near_dup_pairs`` result (the board
+    query shares one pair computation between the pair and cluster
+    views).
+    """
+    from .digraph import connected_components_edges
+
+    if pairs is None:
+        pairs = near_dup_pairs(
+            df, id_col, text_col, n, num_hashes, bands, threshold
+        )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_edges(edges).components
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(comp, ids.doc_id == comp.vertex_id, "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce("component", F.col("doc_id"))
+            ).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -687,3 +687,32 @@ def test_png_large_byte_exact_and_new_cap():
     assert 2100 * 2100 > _PNG_MAX_PIXELS
     with pytest.raises(NotImplementedError, match="external codec"):
         _decode_png(big)
+
+
+def test_dedup_clusters_transitive_and_singletons(spark, docs):
+    """r07: fuzzy-dedup clustering — near-duplication is transitive in
+    intent (A~B, B~C => one family even if A~C misses the threshold);
+    clusters are CC over the verified pair graph, keeper = min id,
+    untouched docs are singleton keepers.  On the fixture: 0~1 (exact)
+    and 0~2 / 1~2 (near) form one {0,1,2} cluster kept by 0; 3/4/5 are
+    singletons.  Also: passing a precomputed pairs frame must give the
+    identical result (the board query's shared-computation path)."""
+    from hypergraph_gpu_label_propagation_spark.operators.dedup import (
+        dedup_clusters,
+        near_dup_pairs,
+    )
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True), 5: (5, True),
+    }
+    pre = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    out2 = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, "doc_id", "text", pairs=pre).collect()
+    }
+    assert out2 == out
