@@ -458,3 +458,70 @@ def test_pagerank_warm_start_head_start_and_uniqueness(spark):
     assert np.allclose([w[i] for i in ids], [c[i] for i in ids], atol=1e-6, rtol=0)
     hg_old.unpersist()
     hg.unpersist()
+
+
+def test_stream_dedup_matches_arrival_ordered_batch_twin(spark, tmp_path):
+    """r07: streaming dedup against the durable band index.  Two
+    deliveries; every (later, earlier) doc pair whose signature
+    estimator clears the threshold must be emitted EXACTLY ONCE, in
+    the later doc's batch — cross-delivery pairs via the index,
+    within-batch pairs via self-collision.  The oracle is the batch
+    twin under the SAME estimator over arrival-ordered pairs."""
+    from hypergraph_gpu_label_propagation_spark.streaming.dedup_stream import (
+        banded_signatures,
+        est_jaccard,
+        run_stream_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = "the quick brown fox jumps over the lazy dog near the old river bend"
+    d1 = [(0, base), (1, base), (2, near),
+          (3, "completely different words about spark shuffles and partitions")]
+    d2 = [(4, base), (5, "yet another unrelated document with fresh tokens")]
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    state = str(tmp_path / "dedup_state")
+    spark.createDataFrame(d1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(stream_dir / "b1")
+    )
+    r1 = run_stream_dedup(spark, str(stream_dir) + "/*", state, threshold=0.5)
+    spark.createDataFrame(d2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(stream_dir / "b2")
+    )
+    r2 = run_stream_dedup(spark, str(stream_dir) + "/*", state, threshold=0.5)
+
+    got = {
+        (r["new_id"], r["dup_of"]): r["est_jaccard"]
+        for r in r2.links.collect()
+    }
+    assert len(got) == len(r2.links.collect())  # exactly-once per pair
+
+    # batch twin: all arrival-ordered band collisions under the same
+    # estimator (arrival order == doc_id order in this fixture)
+    all_docs = spark.createDataFrame(d1 + d2, "doc_id long, text string")
+    bands = banded_signatures(all_docs, "doc_id", "text")
+    a = bands.select(F.col("doc_id").alias("new_id"), "band", "bucket",
+                     F.col("sig").alias("new_sig"))
+    b = bands.select(F.col("doc_id").alias("dup_of"), "band", "bucket",
+                     F.col("sig").alias("old_sig"))
+    twin = {
+        (r["new_id"], r["dup_of"]): r["est_jaccard"]
+        for r in (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("new_id") > F.col("dup_of"))
+            .select("new_id", "dup_of", "new_sig", "old_sig")
+            .distinct()
+            .withColumn("est_jaccard",
+                        est_jaccard(F.col("new_sig"), F.col("old_sig"), 8))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .collect()
+        )
+    }
+    assert got == twin
+    # the fixture actually exercises both link sources: (1,0) is
+    # within-batch, (4,0) is cross-delivery through the index
+    assert (1, 0) in got and (4, 0) in got
+    assert got[(1, 0)] == 1.0 and got[(4, 0)] == 1.0
+    # batch-1's links arrived in batch 1, not re-emitted in batch 2
+    assert r1.links.count() + r2.links_per_batch[-1] == len(got)
