@@ -612,18 +612,33 @@ def q_stratified_sample(spark, sf_dir):
 def q_doc_split(spark, sf_dir):
     """Deterministic leakage-free train/val/test split + hash sampling:
     assignment is a pure function of (doc_id, seed) via the md5 60-bit
-    hash, so it is stable across runs/engines/retries (rand() is not)."""
+    hash, so it is stable across runs/engines/retries (rand() is not).
+
+    r07 tagged union: the verbatim split view ('split' rows, rnk=0)
+    plus the training-shard assignment ('shard' rows: shard id as grp,
+    seeded within-shard shuffle rank as rnk — the export_shards
+    order)."""
     from hypergraph_gpu_label_propagation_spark.functions.sampling import (
         hash_sample,
         hash_split,
+        shard_assignment,
     )
 
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     sampled = hash_sample(split, "doc_id", 0.5, seed=7).select(
-        F.col("doc_id").cast("long"), "split"
+        F.lit("split").alias("tag"),
+        F.col("doc_id").cast("long"),
+        F.col("split").alias("grp"),
+        F.lit(0).cast("long").alias("rnk"),
     )
-    return sampled
+    shards = shard_assignment(docs, "doc_id", num_shards=8, seed=42).select(
+        F.lit("shard").alias("tag"),
+        F.col("doc_id").cast("long"),
+        F.col("shard").cast("string").alias("grp"),
+        F.col("shard_rank").cast("long").alias("rnk"),
+    )
+    return sampled.unionByName(shards)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2425,10 +2440,20 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT "
             "    % 1000000 AS b7 "
             "  FROM documents) "
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "SELECT 'split' AS tag, CAST(doc_id AS BIGINT) AS doc_id, "
             "CASE WHEN b42 < 100000 THEN 'test' "
-            "     WHEN b42 < 900000 THEN 'train' ELSE 'val' END AS split "
-            "FROM h WHERE b7 < 500000"
+            "     WHEN b42 < 900000 THEN 'train' ELSE 'val' END AS grp, "
+            "CAST(0 AS BIGINT) AS rnk "
+            "FROM h WHERE b7 < 500000 "
+            # r07 'shard' leg: shard = bucket % 8; rank = row_number by
+            # the independent ':r:'-salted md5 (ties by id) — the
+            # export_shards seeded-shuffle order, replicated exactly
+            "UNION ALL "
+            "SELECT 'shard' AS tag, CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(b42 % 8 AS VARCHAR) AS grp, "
+            "ROW_NUMBER() OVER (PARTITION BY b42 % 8 "
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r:42'), doc_id) AS rnk "
+            "FROM h"
         ),
         "ngram_jaccard": (
             "WITH sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("

@@ -100,3 +100,109 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, num_shards: int, seed: int = 42
+) -> DataFrame:
+    """+ (shard, shard_rank): deterministic training-shard assignment
+    and a seeded within-shard shuffle order.  shard = id-hash mod
+    ``num_shards``; shard_rank = row's rank by an INDEPENDENT rank
+    hash (salted ``:r`` so shard and order don't correlate), ties by
+    id.  A pure function of (id, seed) — retry/engine/partitioning
+    stable, like every sampler in this module; the window partitions
+    by shard, never SinglePartition."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    rank_h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":r:{seed}"))
+    )
+    return (
+        df.withColumn(
+            "shard", (_bucket_hash(F.col(id_col), seed) % num_shards).cast("int")
+        )
+        .withColumn("_rh", rank_h)
+        .withColumn(
+            "shard_rank",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.col("_rh"), F.col(id_col))
+            ),
+        )
+        .drop("_rh")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    seed: int = 42,
+) -> dict:
+    """The training-data pipeline's LAST stage: write the corpus as
+    ``num_shards`` parquet shards in a deterministic seeded-shuffle
+    order, with a commit manifest.
+
+    Layout: ``path/shard=<k>/`` one sorted parquet file per shard (the
+    trainer streams shards sequentially; within-shard order is the
+    seeded hash shuffle from :func:`shard_assignment`), plus
+    ``path/_manifest.json`` — per-shard row counts, the config, and a
+    total — written LAST, so a reader that requires the manifest gets
+    both-or-neither semantics (the bucketed-layout / IVF-index commit
+    protocol).  At 100 TB: one hash-partition exchange + a per-shard
+    sort, no global order-by, no driver materialization beyond the
+    num_shards-row count frame.  Returns the manifest dict."""
+    import json
+    import os
+
+    assigned = shard_assignment(df, id_col, num_shards, seed)
+    (
+        assigned.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "shard_rank")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in assigned.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "num_shards": num_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(num_shards)},
+        "total_rows": sum(counts.values()),
+    }
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest
+
+
+def read_shards(spark, path: str) -> DataFrame:
+    """Read an :func:`export_shards` layout, refusing one whose
+    manifest is absent (half-written export) or whose row count
+    disagrees with the manifest (foreign writes)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"shard layout {path} has no _manifest.json — half-written "
+            "export (the manifest commits last); re-export or delete"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    out = spark.read.parquet(path)
+    n = out.count()
+    if n != manifest["total_rows"]:
+        raise ValueError(
+            f"shard layout {path} holds {n} rows but the manifest "
+            f"committed {manifest['total_rows']} — refusing inconsistent state"
+        )
+    return out

