@@ -233,3 +233,61 @@ def test_ann_frontier_both_paths_same_fixture(spark):
     assert r_lsh >= 0.12, r_lsh
     assert r_ivf >= 0.5, r_ivf
     assert r_ivf > r_lsh  # the frontier's ordering, pinned
+
+
+def test_stream_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """r07: streaming IVF appends.  The coarse quantizer is FROZEN at
+    build time, so appended postings are a pure function of (batch,
+    centroids) and base ∪ deliveries == a full rebuild's inverted file
+    — probes over the streamed index must be ROW-IDENTICAL to
+    ivf_topk_from_index over an index rebuilt on the full corpus with
+    the same centroids (exact, not an estimate).  Replay-idempotence
+    comes from the delivery=<id> two-rename swap (dedup_stream
+    protocol, crash-tested there)."""
+    from hypergraph_gpu_label_propagation_spark.operators.kmeans import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from hypergraph_gpu_label_propagation_spark.streaming.ann_stream import (
+        run_stream_index_append,
+        stream_ivf_topk,
+    )
+
+    df, _ = _clustered_df(spark)
+    base = df.filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    b1 = df.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 140)).select(
+        "vec_id", "embedding"
+    )
+    b2 = df.filter(F.col("vec_id") >= 140).select("vec_id", "embedding")
+
+    write_ivf_index(base, "t_annstr_base", n_cells=N_CLUSTERS, seed=5, cell_salt=2)
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in spark.table("t_annstr_base_ivf_centroids").orderBy("cell").collect()
+    ]
+
+    stream_dir = tmp_path / "emb_stream"
+    stream_dir.mkdir()
+    state = str(tmp_path / "ann_state")
+    b1.coalesce(1).write.parquet(str(stream_dir / "b1"))
+    r1 = run_stream_index_append(spark, str(stream_dir) + "/*", state, "t_annstr_base")
+    b2.coalesce(1).write.parquet(str(stream_dir / "b2"))
+    r2 = run_stream_index_append(spark, str(stream_dir) + "/*", state, "t_annstr_base")
+    assert r1.rows_per_batch == [20] and r2.rows_per_batch == [20]
+
+    queries = df.filter(F.col("vec_id") % 40 == 0).select("vec_id", "embedding")
+    streamed = stream_ivf_topk(
+        spark, "t_annstr_base", state, queries, k=4, nprobe=2
+    )
+    # rebuild on the FULL corpus with the SAME frozen centroids
+    write_ivf_index(
+        df.select("vec_id", "embedding"), "t_annstr_full",
+        n_cells=N_CLUSTERS, centroids=cents, cell_salt=2,
+    )
+    rebuilt = ivf_topk_from_index(spark, "t_annstr_full", queries, k=4, nprobe=2)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # every streamed doc is probeable (b2's planted dups included)
+    ids = {r["neighbor_id"] for r in streamed.collect()}
+    assert ids & {int(r["vec_id"]) for r in b2.collect()}
