@@ -299,60 +299,6 @@ _IDCT_T = _idct_basis()
 _JPEG_MAX_PIXELS = 1 << 22  # 2048 x 2048 (~4.2 MP)
 
 
-class _BitReader:
-    """MSB-first bit reader over one entropy-coded segment (already
-    FF00-unstuffed).  Reads past the end yield 1-bits — the spec's
-    final-byte padding — so a trailing EOB that straddles the boundary
-    decodes; a Huffman walk that consumes >16 phantom bits errors.
-
-    r07: multi-bit fetch — ``peek16``/``read_bits`` pull a 4-byte
-    window via ``int.from_bytes`` instead of looping per bit (the old
-    per-bit loop was the cap's stated reason; bit semantics, phantom-1
-    padding and the 16-phantom-bit allowance are unchanged and the fuzz
-    suite re-verifies the truncation contract)."""
-
-    __slots__ = ("data", "pos", "end")
-
-    def __init__(self, data: bytes):
-        # 4 trailing 0xFF bytes = the spec's 1-bit padding, so every
-        # 32-bit window read below is branch-free
-        self.data = data + b"\xff\xff\xff\xff"
-        self.pos = 0
-        self.end = len(data) * 8
-
-    def peek16(self) -> int:
-        """The next 16 bits (phantom 1s past the end), not consumed."""
-        byte0 = self.pos >> 3
-        chunk = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
-        return (chunk >> (16 - (self.pos & 7))) & 0xFFFF
-
-    def read_bit(self) -> int:
-        if self.pos >= self.end:
-            self.pos += 1
-            return 1
-        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        byte0 = self.pos >> 3
-        chunk = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
-        v = (chunk >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
-        self.pos += n
-        # r06 ADVICE: magnitude bits must not silently decode from phantom
-        # padding — a stream truncated inside the final MCU's last
-        # magnitude bits would otherwise return wrong pixels instead of
-        # the documented ValueError (same 16-bit allowance as _read_huff)
-        if self.pos - self.end > 16:
-            raise ValueError("JPEG entropy stream truncated")
-        return v
-
-    def overran(self) -> bool:
-        return self.pos > self.end
-
-
 def _huffman_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     """Canonical Huffman from a DHT (BITS, HUFFVAL) pair as an ENCODE
     map {symbol: (code_length, code)} — the make_jpeg writer's view."""
@@ -386,23 +332,6 @@ def _build_huffman(bits: bytes, vals: bytes) -> list[int]:
             vi += 1
         code <<= 1
     return table
-
-
-def _read_huff(br: _BitReader, table: list[int]) -> int:
-    packed = table[br.peek16()]
-    if packed == 0:
-        raise ValueError("invalid JPEG Huffman code")
-    br.pos += packed & 31
-    if br.pos - br.end > 16:
-        raise ValueError("JPEG entropy stream truncated")
-    return packed >> 5
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 F.12: map a SIZE-bit magnitude to its signed value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 @_codec_guard
@@ -572,15 +501,17 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
     for seg in segments:
         if mcu >= n_mcu:
             break
-        # r07 hot path: the bit reads are _BitReader's peek16/read_bits
-        # INLINED over local (sdata, pos, send) — at ~12M symbol reads
-        # for a 4 MP noise image the method-call + attribute overhead
-        # was half the decode wall.  Each iteration fetches ONE 48-bit
-        # window serving both the Huffman code (<=16 bits after <=7 bits
-        # of byte misalignment) and its magnitude bits (<=15): 7+16+15 =
-        # 38 <= 48.  Semantics are identical to _BitReader: 6 trailing
-        # 0xFF bytes = phantom-1 padding, >16 phantom bits consumed =
-        # the documented truncation ValueError (fuzz suite re-verifies).
+        # r07 hot path: bit reads run over local (sdata, pos, send) —
+        # at ~12M symbol reads for a 4 MP noise image, method-call +
+        # attribute overhead was half the decode wall.  Each iteration
+        # fetches ONE 48-bit window serving both the Huffman code (<=16
+        # bits after <=7 bits of byte misalignment) and its magnitude
+        # bits (<=15): 7+16+15 = 38 <= 48.  Bit semantics follow T.81:
+        # 6 trailing 0xFF bytes = the spec's phantom-1 final-byte
+        # padding (a trailing EOB straddling the boundary decodes), and
+        # consuming >16 phantom bits raises the documented truncation
+        # ValueError — magnitude bits must never silently decode from
+        # padding (r06 ADVICE; the fuzz suite verifies byte-by-byte).
         sdata = seg + b"\xff\xff\xff\xff\xff\xff"
         send = len(seg) * 8
         pos = 0
