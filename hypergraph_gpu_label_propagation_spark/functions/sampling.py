@@ -165,9 +165,16 @@ def export_shards(
         .mode("overwrite")
         .parquet(path)
     )
+    # manifest counts come from the parquet just written, NOT from the
+    # assignment lineage — recomputing it would be a second full corpus
+    # pass (md5 hash + exchange) for numbers the materialized data
+    # already holds (r07 review)
     counts = {
         int(r["shard"]): int(r["n"])
-        for r in assigned.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        for r in df.sparkSession.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     manifest = {
         "num_shards": num_shards,

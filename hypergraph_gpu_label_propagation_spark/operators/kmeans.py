@@ -457,24 +457,13 @@ def write_ivf_index(
     return name
 
 
-def ivf_topk_from_index(
-    spark,
-    name: str,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    nprobe: int = 3,
-    exclude_self: bool = True,
-) -> DataFrame:
-    """Probe a durable IVF index written by :func:`write_ivf_index`:
-    loads the centroid table (k x dim, driver-side literal exactly as
-    the inline path), reads the bucketed inverted file, and runs the
-    shared probe plan — results are row-identical to inline
-    :func:`ivf_topk` with the same centroids (pytest parity), the only
-    difference is that the corpus side is a bucketed scan instead of a
-    recomputed assignment.  Refuses an index whose commit manifest is
-    missing (half-written layouts are unreadable by construction)."""
+def load_ivf_meta(spark, name: str) -> tuple[dict, list[list[float]]]:
+    """Commit manifest + frozen centroids of a durable IVF index — the
+    single reader of the index commit protocol (shared by the batch
+    probe and the streaming append/probe paths, so the manifest format
+    can never drift between them; r07 review).  Refuses an index whose
+    manifest is missing: half-written layouts are unreadable by
+    construction."""
     import json
     import os
 
@@ -492,11 +481,32 @@ def ivf_topk_from_index(
         meta = json.load(f)
     if meta.get("kind") != "ivf":
         raise ValueError(f"layout {name!r} is not an IVF index: {meta}")
+    cent_rows = spark.table(f"{name}_ivf_centroids").orderBy("cell").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    return meta, centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    name: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a durable IVF index written by :func:`write_ivf_index`:
+    loads the centroid table (k x dim, driver-side literal exactly as
+    the inline path), reads the bucketed inverted file, and runs the
+    shared probe plan — results are row-identical to inline
+    :func:`ivf_topk` with the same centroids (pytest parity), the only
+    difference is that the corpus side is a bucketed scan instead of a
+    recomputed assignment."""
+    meta, centroids = load_ivf_meta(spark, name)
     n_cells, cell_salt = int(meta["n_cells"]), int(meta["cell_salt"])
     if nprobe < 1 or nprobe > n_cells:
         raise ValueError(f"nprobe must be in [1, {n_cells}], got {nprobe}")
-    cent_rows = spark.table(f"{name}_ivf_centroids").orderBy("cell").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     inv = spark.table(f"{name}_ivf_inv")
     return _probe_topk(
         inv, centroids, queries, id_col, vec_col,

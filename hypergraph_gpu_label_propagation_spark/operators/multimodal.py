@@ -512,7 +512,13 @@ def _decode_jpeg_scan(data, start, frame, qt, huff, scan_tabs, dri):
         # consuming >16 phantom bits raises the documented truncation
         # ValueError — magnitude bits must never silently decode from
         # padding (r06 ADVICE; the fuzz suite verifies byte-by-byte).
-        sdata = seg + b"\xff\xff\xff\xff\xff\xff"
+        # 8 pad bytes, not 6: the truncation allowance lets pos reach
+        # send+16 before a fetch, i.e. byte0 up to len(seg)+2, and the
+        # 6-byte window must still be fully inside the pad so phantom
+        # bits read as 1s (a short slice would read them as ZEROS and
+        # the LUT could match a spurious all-zero-prefix code instead
+        # of raising the truncation error; r07 review)
+        sdata = seg + b"\xff" * 8
         send = len(seg) * 8
         pos = 0
         pred = {cid: 0 for cid, *_ in comps}  # DC predictors reset per RST

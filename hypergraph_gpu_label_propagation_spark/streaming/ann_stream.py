@@ -31,7 +31,6 @@ engine's IVF primitives with Structured Streaming.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 
@@ -40,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hypergraph_gpu_label_propagation_spark.operators.kmeans import (
     _build_inverted_file,
     _probe_topk,
+    load_ivf_meta,
 )
 from hypergraph_gpu_label_propagation_spark.streaming.dedup_stream import (
     read_deliveries,
@@ -49,28 +49,6 @@ from hypergraph_gpu_label_propagation_spark.streaming.events import (
 )
 
 EMBEDDING_STREAM_SCHEMA = "vec_id long, embedding array<double>"
-
-
-def _load_ivf_meta(spark: SparkSession, name: str) -> tuple[dict, list[list[float]]]:
-    """Manifest + frozen centroids of a committed IVF index; refuses a
-    half-written layout (no manifest)."""
-    from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
-        _manifest_path,
-    )
-
-    manifest = _manifest_path(spark, name)
-    if not os.path.exists(manifest):
-        raise ValueError(
-            f"IVF index {name!r} has no commit manifest at {manifest} — "
-            "build it with write_ivf_index before streaming appends"
-        )
-    with open(manifest) as f:
-        meta = json.load(f)
-    if meta.get("kind") != "ivf":
-        raise ValueError(f"layout {name!r} is not an IVF index: {meta}")
-    cent_rows = spark.table(f"{name}_ivf_centroids").orderBy("cell").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
-    return meta, centroids
 
 
 @dataclass
@@ -90,7 +68,7 @@ def run_stream_index_append(
     postings — assigned against the index's FROZEN centroids — under
     ``state_dir/delivery=<batch_id>`` (two-rename swap, replay-
     idempotent).  The base index is never modified."""
-    meta, centroids = _load_ivf_meta(spark, index_name)
+    meta, centroids = load_ivf_meta(spark, index_name)
     os.makedirs(state_dir, exist_ok=True)
     counts: list[int] = []
 
@@ -135,7 +113,7 @@ def stream_ivf_topk(
     the union of postings equals a full rebuild's inverted file — so
     results are row-identical to ``ivf_topk_from_index`` over that
     rebuild (pytest contract)."""
-    meta, centroids = _load_ivf_meta(spark, index_name)
+    meta, centroids = load_ivf_meta(spark, index_name)
     n_cells = int(meta["n_cells"])
     if nprobe < 1 or nprobe > n_cells:
         raise ValueError(f"nprobe must be in [1, {n_cells}], got {nprobe}")

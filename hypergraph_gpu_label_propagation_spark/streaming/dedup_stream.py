@@ -39,6 +39,7 @@ engine's dedup primitives with Structured Streaming.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,23 +108,44 @@ def est_jaccard(sig_a, sig_b, num_hashes: int):
     )
 
 
-def read_deliveries(spark: SparkSession, root: str) -> DataFrame | None:
+_DELIVERY_RE = re.compile(r"^delivery=(\d+)$")
+
+
+def read_deliveries(
+    spark: SparkSession, root: str, before_id: int | None = None
+) -> DataFrame | None:
     """Union of all committed ``delivery=<id>`` subdirs under ``root``
     (the band index, or the emitted links); None when empty.
-    A delivery dir is visible only after its ``_SUCCESS`` marker —
-    half-written deliveries (crash mid-swap) are first healed by
-    ``recover_swap`` and otherwise refused, mirroring lp_stream's
-    state-reader contract."""
+
+    Only names matching ``delivery=<int>`` EXACTLY are deliveries —
+    the swap protocol's ``.tmp``/``.old`` siblings are internals:
+    each candidate base is first healed by ``recover_swap`` (which
+    restores a crash-between-renames ``.old`` and drops a stale
+    ``.tmp``), so a crash mid-tmp-write neither bricks the reader nor
+    exposes uncommitted rows (r07 review).  A healed base that exists
+    WITHOUT ``_SUCCESS`` is foreign/corrupt state and is refused,
+    mirroring lp_stream's state-reader contract.
+
+    ``before_id`` (exclusive) restricts to earlier deliveries — the
+    foreachBatch REPLAY guard: a replayed batch must not read its own
+    already-committed output (it would self-collide and emit reversed
+    pairs, r07 review)."""
     if not os.path.isdir(root):
         return None
+    bases: set[tuple[int, str]] = set()
+    for name in os.listdir(root):
+        base = name[:-4] if name.endswith((".tmp", ".old")) else name
+        m = _DELIVERY_RE.match(base)
+        if m:
+            bases.add((int(m.group(1)), base))
     parts = []
-    for name in sorted(os.listdir(root)):
-        sub = os.path.join(root, name)
-        if not (name.startswith("delivery=") and os.path.isdir(sub)):
+    for did, base in sorted(bases):
+        if before_id is not None and did >= before_id:
             continue
+        sub = os.path.join(root, base)
         recover_swap(sub)
         if not os.path.isdir(sub):
-            continue
+            continue  # only swap leftovers existed; healed to nothing
         if not os.path.exists(os.path.join(sub, "_SUCCESS")):
             raise ValueError(
                 f"band-index delivery {sub} has no _SUCCESS marker — "
@@ -177,7 +199,9 @@ def run_stream_dedup(
         new_bands = banded_signatures(
             batch_df, "doc_id", "text", n, num_hashes, bands
         ).localCheckpoint(eager=True)  # referenced 3x below — one compute
-        idx = read_deliveries(spark, index_dir)
+        # before_id: a REPLAYED batch must not read its own committed
+        # delivery (self-collisions + reversed pairs; r07 review)
+        idx = read_deliveries(spark, index_dir, before_id=batch_id)
 
         nb = new_bands.select(
             F.col("doc_id").alias("new_id"),

@@ -763,7 +763,7 @@ def test_shard_assignment_and_export_roundtrip(spark, tmp_path):
     manifest = export_shards(df, path, "doc_id", num_shards=4, seed=9)
     assert manifest["total_rows"] == 200
     assert sum(manifest["rows_per_shard"].values()) == 200
-    assert sorted(os.listdir(path))[:1] == ["_manifest.json"] or True
+    assert os.path.exists(os.path.join(path, "_manifest.json"))
     back = read_shards(spark, path)
     assert back.count() == 200
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))

@@ -525,3 +525,52 @@ def test_stream_dedup_matches_arrival_ordered_batch_twin(spark, tmp_path):
     assert got[(1, 0)] == 1.0 and got[(4, 0)] == 1.0
     # batch-1's links arrived in batch 1, not re-emitted in batch 2
     assert r1.links.count() + r2.links_per_batch[-1] == len(got)
+
+
+def test_read_deliveries_swap_internals_and_replay_guard(spark, tmp_path):
+    """r07 review: the delivery reader must treat the swap protocol's
+    '.tmp'/'.old' siblings as internals — a crash mid-tmp-write must
+    neither brick the reader nor expose uncommitted rows, and a crash
+    between the two renames (only '.old' left) must heal to the
+    committed snapshot.  before_id is the foreachBatch replay guard:
+    a replayed batch must not see its own already-committed delivery."""
+    import os
+    import shutil
+
+    from hypergraph_gpu_label_propagation_spark.streaming.dedup_stream import (
+        read_deliveries,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+
+    def mk(name, ids):
+        spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(
+            1
+        ).write.parquet(os.path.join(root, name))
+
+    mk("delivery=0", [100])
+    # crash mid-tmp-write: parquet dir without _SUCCESS, under .tmp
+    mk("delivery=1.tmp", [111])
+    os.remove(os.path.join(root, "delivery=1.tmp", "_SUCCESS"))
+    # crash between the two renames: only the .old snapshot remains
+    mk("delivery=2", [122])
+    os.rename(os.path.join(root, "delivery=2"), os.path.join(root, "delivery=2.old"))
+
+    got = {r["doc_id"] for r in read_deliveries(spark, root).collect()}
+    assert got == {100, 122}          # 0 committed, 2 healed, 1.tmp ignored
+    assert not os.path.exists(os.path.join(root, "delivery=1.tmp"))  # dropped
+    assert os.path.exists(os.path.join(root, "delivery=2", "_SUCCESS"))
+
+    # replay guard: batch 2's replay sees only strictly earlier deliveries
+    early = {r["doc_id"] for r in read_deliveries(spark, root, before_id=2).collect()}
+    assert early == {100}
+
+    # a BASE dir without _SUCCESS is still foreign/corrupt -> refused
+    mk("delivery=3", [133])
+    os.remove(os.path.join(root, "delivery=3", "_SUCCESS"))
+    import pytest
+
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_deliveries(spark, root)
+    shutil.rmtree(os.path.join(root, "delivery=3"))
