@@ -566,18 +566,32 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_doc_repetition(spark, sf_dir):
-    """Within-document repetition quality signal (Gopher §A.1.1): the
-    duplicate-3-gram fraction per document — pure column expressions."""
+    """r07 tagged union of two per-doc quality signals: 'rep' = the
+    verbatim Gopher §A.1.1 duplicate-3-gram fraction; 'lm' = the
+    CCNet-style unigram LM score (mean log2 P(token) under the
+    corpus's own add-k-smoothed unigram distribution — the perplexity
+    filter in its model-free simplification)."""
     from hypergraph_gpu_label_propagation_spark.functions.text import (
         repetition_features,
+        unigram_logprob,
     )
 
-    return repetition_features(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
-    ).select(
-        F.col("doc_id").cast("long"), "n_ngrams", "n_distinct_ngrams",
-        "dup_ngram_ratio",
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_features(docs, "doc_id", "text", n=3).select(
+        F.lit("rep").alias("tag"),
+        F.col("doc_id").cast("long"),
+        F.col("n_ngrams").alias("c1"),
+        F.col("n_distinct_ngrams").alias("c2"),
+        F.col("dup_ngram_ratio").alias("val"),
     )
+    lm = unigram_logprob(docs, "doc_id", "text").select(
+        F.lit("lm").alias("tag"),
+        F.col("doc_id").cast("long"),
+        F.col("n_scored_tokens").cast("long").alias("c1"),
+        F.lit(0).cast("long").alias("c2"),
+        F.col("lm_logprob").alias("val"),
+    )
+    return rep.unionByName(lm)
 
 
 def q_decontaminate(spark, sf_dir):
@@ -2396,17 +2410,37 @@ FROM uni u2 LEFT JOIN fin f ON f.u = u2.vertex_id"""
             "FROM t LEFT JOIN win w ON t.doc_id = w.doc_id"
         ),
         "doc_repetition": (
+            # r07 tagged union: 'rep' = the verbatim Gopher row; 'lm' =
+            # the unigram LM score — same add-k model, explicit DOUBLE
+            # casts (DuckDB decimal-literal arithmetic would otherwise
+            # run at fixed scale), ROUND 6 absorbs cross-engine FP
+            # sum-order in the AVG (the cos_sim policy)
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
             "  list_transform(range(1, len(toks) - 1), "
             "    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
-            "  ELSE []::VARCHAR[] END AS ngs FROM t) "
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CAST(len(ngs) AS BIGINT) AS n_ngrams, "
-            "CAST(len(list_distinct(ngs)) AS BIGINT) AS n_distinct_ngrams, "
+            "  ELSE []::VARCHAR[] END AS ngs FROM t), "
+            "tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok "
+            "  FROM documents), "
+            "tk2 AS (SELECT * FROM tk WHERE tok <> ''), "
+            "vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk2 GROUP BY tok), "
+            "tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab), "
+            "lpv AS (SELECT tok, log2((CAST(cnt AS DOUBLE) + 0.5) / "
+            "  (CAST(n AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lp "
+            "  FROM vocab, tot), "
+            "sc AS (SELECT tk2.doc_id, COUNT(*) AS nt, ROUND(AVG(lp), 6) AS lp "
+            "  FROM tk2 JOIN lpv USING (tok) GROUP BY tk2.doc_id) "
+            "SELECT 'rep' AS tag, CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(ngs) AS BIGINT) AS c1, "
+            "CAST(len(list_distinct(ngs)) AS BIGINT) AS c2, "
             "CASE WHEN len(ngs) > 0 THEN "
             "  ROUND(CAST(1.0 AS DOUBLE) - len(list_distinct(ngs)) / len(ngs), 6) "
-            "ELSE 0.0 END AS dup_ngram_ratio FROM g"
+            "ELSE 0.0 END AS val FROM g "
+            "UNION ALL "
+            "SELECT 'lm' AS tag, CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "CAST(COALESCE(sc.nt, 0) AS BIGINT) AS c1, "
+            "CAST(0 AS BIGINT) AS c2, sc.lp AS val "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         "decontaminate": (
             "WITH sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("

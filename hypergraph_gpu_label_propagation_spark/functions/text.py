@@ -216,3 +216,59 @@ def normalize_ws(text: Column | str) -> Column:
     for pat, repl in NORMALIZE_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return F.trim(col)
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """(id, n_scored_tokens, lm_logprob) — the LM-filter quality signal
+    (CCNet / Wenzek et al. 2020 score corpora by LM perplexity and drop
+    the tail), in its unigram simplification so it needs no external
+    model: score each document by the mean log2-probability of its
+    tokens under the CORPUS'S OWN add-k-smoothed unigram distribution,
+    P(t) = (count(t) + k) / (N + k·V).  Token-soup / rare-gibberish
+    documents score far below documents built from the corpus's common
+    vocabulary; rank or threshold on ``lm_logprob`` exactly like a
+    perplexity filter.
+
+    Shape at 100 TB: one token scan builds the frequency table (a
+    shuffle whose size is the VOCABULARY, not the corpus), the totals
+    ride a one-row broadcast (no driver action — the repo's scalar-
+    frame pattern), and scoring is a broadcast join of the vocabulary
+    onto the token stream (token types are millions while the corpus
+    is trillions of tokens; a vocabulary too big to broadcast would
+    shuffle-join with AQE skew handling on the hot common tokens).
+    Empty documents get NULL lm_logprob (nothing to score).
+    ``lm_logprob`` is rounded to 6 decimals — FP sum order differs
+    across engines (the cos_sim / quantiles oracle policy)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("_n"), F.count("*").alias("_v")
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log2(
+            (F.col("cnt") + F.lit(float(k)))
+            / (F.col("_n") + F.lit(float(k)) * F.col("_v"))
+        ).alias("_lp"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(scored_vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_scored_tokens"),
+            F.round(F.avg("_lp"), 6).alias("lm_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+            "lm_logprob",
+        )
+    )

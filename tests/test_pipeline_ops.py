@@ -771,3 +771,40 @@ def test_shard_assignment_and_export_roundtrip(spark, tmp_path):
     os.remove(os.path.join(path, "_manifest.json"))
     with pytest.raises(ValueError, match="manifest"):
         read_shards(spark, path)
+
+
+def test_unigram_logprob_ranks_gibberish_below_common(spark):
+    """r07: unigram LM-filter signal.  Exact contract vs a python
+    replica of the same add-k unigram model (to 1e-9 — log2/avg FP
+    only), plus the semantic point: a document of corpus-common tokens
+    scores strictly above rare-token gibberish, and empty docs are
+    unscored (NULL, 0 tokens)."""
+    import math
+
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the cat"),
+        (2, "zyx qwv jkl pqr"),          # rare-token gibberish
+        (3, ""),                          # nothing to score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+
+    # python replica (k = 0.5)
+    toks = {i: [t for t in s.split(" ") if t] for i, s in rows}
+    from collections import Counter
+
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    n, v = sum(cnt.values()), len(cnt)
+    lp = {t: math.log2((c + 0.5) / (n + 0.5 * v)) for t, c in cnt.items()}
+    for i in (0, 1, 2):
+        expect = round(sum(lp[t] for t in toks[i]) / len(toks[i]), 6)
+        assert abs(got[i]["lm_logprob"] - expect) < 1e-9, (i, got[i], expect)
+        assert got[i]["n_scored_tokens"] == len(toks[i])
+    assert got[3]["lm_logprob"] is None and got[3]["n_scored_tokens"] == 0
+    assert got[0]["lm_logprob"] > got[2]["lm_logprob"]
+    assert got[1]["lm_logprob"] > got[2]["lm_logprob"]
