@@ -169,9 +169,14 @@ def export_shards(
     # assignment lineage — recomputing it would be a second full corpus
     # pass (md5 hash + exchange) for numbers the materialized data
     # already holds (r07 review)
+    # explicit schema: an EMPTY corpus writes only _SUCCESS (no part
+    # files, no partition dirs) and schema inference would fail — the
+    # empty export must still commit a valid zero-count manifest
+    # (r07 second review)
     counts = {
         int(r["shard"]): int(r["n"])
-        for r in df.sparkSession.read.parquet(path)
+        for r in df.sparkSession.read.schema(assigned.schema)
+        .parquet(path)
         .groupBy("shard")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -205,6 +210,13 @@ def read_shards(spark, path: str) -> DataFrame:
         )
     with open(mpath) as f:
         manifest = json.load(f)
+    if manifest["total_rows"] == 0:
+        # an empty export holds no part files to infer a schema from;
+        # the committed manifest is the authority that zero is correct
+        raise ValueError(
+            f"shard layout {path} is a committed EMPTY export "
+            "(total_rows=0) — nothing to read"
+        )
     out = spark.read.parquet(path)
     n = out.count()
     if n != manifest["total_rows"]:

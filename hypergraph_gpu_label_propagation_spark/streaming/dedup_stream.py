@@ -50,7 +50,6 @@ from hypergraph_gpu_label_propagation_spark.operators.dedup import (
 )
 from hypergraph_gpu_label_propagation_spark.streaming.events import (
     atomic_swap_write,
-    recover_swap,
 )
 
 DOC_STREAM_SCHEMA = "doc_id long, text string"
@@ -111,53 +110,80 @@ def est_jaccard(sig_a, sig_b, num_hashes: int):
 _DELIVERY_RE = re.compile(r"^delivery=(\d+)$")
 
 
+def delivery_ids(root: str) -> list[int]:
+    """Sorted ids of deliveries present under ``root`` — committed
+    bases plus crash-between-renames ``.old`` snapshots (which ARE the
+    committed data, just mid-rename); in-flight ``.tmp`` dirs are NOT
+    deliveries and are never counted."""
+    if not os.path.isdir(root):
+        return []
+    names = set(os.listdir(root))
+    ids = set()
+    for name in names:
+        base = name[:-4] if name.endswith(".old") else name
+        m = _DELIVERY_RE.match(base)
+        if m:
+            ids.add(int(m.group(1)))
+    return sorted(ids)
+
+
 def read_deliveries(
     spark: SparkSession, root: str, before_id: int | None = None
 ) -> DataFrame | None:
     """Union of all committed ``delivery=<id>`` subdirs under ``root``
-    (the band index, or the emitted links); None when empty.
+    (the band index, IVF postings, or the emitted links); None when
+    empty.  One multi-path ``spark.read.parquet`` — a per-delivery
+    read + O(n) union tree would re-plan n scans on every micro-batch
+    of a long-lived stream (r07 second review).
 
-    Only names matching ``delivery=<int>`` EXACTLY are deliveries —
-    the swap protocol's ``.tmp``/``.old`` siblings are internals:
-    each candidate base is first healed by ``recover_swap`` (which
-    restores a crash-between-renames ``.old`` and drops a stale
-    ``.tmp``), so a crash mid-tmp-write neither bricks the reader nor
-    exposes uncommitted rows (r07 review).  A healed base that exists
-    WITHOUT ``_SUCCESS`` is foreign/corrupt state and is refused,
-    mirroring lp_stream's state-reader contract.
+    Crash-shape handling (r07 reviews):
+    - ``delivery=<id>.old`` with NO base = a crash between the swap's
+      two renames; the ``.old`` IS the committed snapshot and is
+      restored by rename.  (Only the reader or the crashed writer's
+      retry can observe this state — no live writer swaps the same
+      delivery concurrently.)
+    - ``delivery=<id>.tmp`` = an IN-FLIGHT or crashed write; never
+      read, never counted, and — unlike a blanket ``recover_swap`` —
+      NEVER deleted here: a nominally read-only probe must not rmtree
+      a concurrent appender's tmp mid-write (the writer's own next
+      ``atomic_swap_write`` cleans its stale tmp).
+    - a base WITHOUT ``_SUCCESS`` is foreign/corrupt state → refused,
+      mirroring lp_stream's state-reader contract.
 
     ``before_id`` (exclusive) restricts to earlier deliveries — the
     foreachBatch REPLAY guard: a replayed batch must not read its own
     already-committed output (it would self-collide and emit reversed
-    pairs, r07 review)."""
+    pairs)."""
     if not os.path.isdir(root):
         return None
-    bases: set[tuple[int, str]] = set()
-    for name in os.listdir(root):
-        base = name[:-4] if name.endswith((".tmp", ".old")) else name
-        m = _DELIVERY_RE.match(base)
+    names = set(os.listdir(root))
+    bases: dict[int, str] = {}
+    for name in names:
+        m = _DELIVERY_RE.match(name)
         if m:
-            bases.add((int(m.group(1)), base))
-    parts = []
-    for did, base in sorted(bases):
+            bases[int(m.group(1))] = name
+    for name in names:
+        if not name.endswith(".old"):
+            continue
+        base = name[:-4]
+        m = _DELIVERY_RE.match(base)
+        if m and base not in names:
+            os.rename(os.path.join(root, name), os.path.join(root, base))
+            bases[int(m.group(1))] = base
+    paths = []
+    for did in sorted(bases):
         if before_id is not None and did >= before_id:
             continue
-        sub = os.path.join(root, base)
-        recover_swap(sub)
-        if not os.path.isdir(sub):
-            continue  # only swap leftovers existed; healed to nothing
+        sub = os.path.join(root, bases[did])
         if not os.path.exists(os.path.join(sub, "_SUCCESS")):
             raise ValueError(
                 f"band-index delivery {sub} has no _SUCCESS marker — "
                 "foreign or corrupt state; refusing a partial index"
             )
-        parts.append(spark.read.parquet(sub))
-    if not parts:
+        paths.append(sub)
+    if not paths:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.read.parquet(*paths)
 
 
 @dataclass
@@ -196,6 +222,20 @@ def run_stream_dedup(
     counts: list[int] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # deliveries AHEAD of this batch id mean the stream checkpoint
+        # was reset/rewound while state dirs persist — proceeding would
+        # hide the standing index behind before_id AND overwrite its
+        # deliveries; refuse loudly instead of silently losing dedup
+        # coverage (r07 second review).  A genuine replay re-runs the
+        # LAST batch, so only ids <= batch_id can legitimately exist.
+        ahead = [d for d in delivery_ids(index_dir) if d > batch_id]
+        if ahead:
+            raise ValueError(
+                f"stream checkpoint is behind the index state (batch "
+                f"{batch_id} but deliveries {ahead} exist) — the "
+                f"checkpoint was reset while {index_dir} persists; "
+                "restore the checkpoint or clear the state dir"
+            )
         new_bands = banded_signatures(
             batch_df, "doc_id", "text", n, num_hashes, bands
         ).localCheckpoint(eager=True)  # referenced 3x below — one compute

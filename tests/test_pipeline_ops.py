@@ -808,3 +808,24 @@ def test_unigram_logprob_ranks_gibberish_below_common(spark):
     assert got[3]["lm_logprob"] is None and got[3]["n_scored_tokens"] == 0
     assert got[0]["lm_logprob"] > got[2]["lm_logprob"]
     assert got[1]["lm_logprob"] > got[2]["lm_logprob"]
+
+
+def test_export_shards_empty_corpus(spark, tmp_path):
+    """r07 second review: an empty corpus must still commit a valid
+    zero-count manifest (the read-back count uses an explicit schema —
+    inference has no part files to work with), and the reader names
+    the emptiness instead of failing schema inference."""
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        export_shards,
+        read_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "empty_shards")
+    m = export_shards(empty, path, "doc_id", num_shards=4)
+    assert m["total_rows"] == 0
+    assert m["rows_per_shard"] == {str(k): 0 for k in range(4)}
+    with pytest.raises(ValueError, match="EMPTY"):
+        read_shards(spark, path)

@@ -559,7 +559,10 @@ def test_read_deliveries_swap_internals_and_replay_guard(spark, tmp_path):
 
     got = {r["doc_id"] for r in read_deliveries(spark, root).collect()}
     assert got == {100, 122}          # 0 committed, 2 healed, 1.tmp ignored
-    assert not os.path.exists(os.path.join(root, "delivery=1.tmp"))  # dropped
+    # the reader must NOT delete the tmp: it may be a concurrent
+    # appender's IN-FLIGHT write (the writer's own next swap cleans a
+    # stale one); it is simply never read (r07 second review)
+    assert os.path.exists(os.path.join(root, "delivery=1.tmp"))
     assert os.path.exists(os.path.join(root, "delivery=2", "_SUCCESS"))
 
     # replay guard: batch 2's replay sees only strictly earlier deliveries
@@ -574,3 +577,32 @@ def test_read_deliveries_swap_internals_and_replay_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="_SUCCESS"):
         read_deliveries(spark, root)
     shutil.rmtree(os.path.join(root, "delivery=3"))
+
+
+def test_stream_dedup_refuses_reset_checkpoint(spark, tmp_path):
+    """r07 second review: a fresh/reset stream checkpoint over a
+    persisting index must refuse loudly — proceeding would hide the
+    standing index behind the replay guard AND overwrite its delivery
+    dirs (silent dedup-coverage loss)."""
+    import os
+
+    import pytest
+
+    from hypergraph_gpu_label_propagation_spark.streaming.dedup_stream import (
+        run_stream_dedup,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "index"))
+    spark.createDataFrame(
+        [(1, 0, "b", [1, 2, 3, 4, 5, 6, 7, 8])],
+        "doc_id long, band int, bucket string, sig array<long>",
+    ).coalesce(1).write.parquet(os.path.join(state, "index", "delivery=5"))
+
+    stream_dir = tmp_path / "docs"
+    stream_dir.mkdir()
+    spark.createDataFrame(
+        [(0, "some text here")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(stream_dir / "b1"))
+    with pytest.raises(Exception, match="behind the index state"):
+        run_stream_dedup(spark, str(stream_dir) + "/*", state)
