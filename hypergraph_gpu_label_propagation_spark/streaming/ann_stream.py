@@ -42,7 +42,7 @@ from hypergraph_gpu_label_propagation_spark.operators.kmeans import (
     load_ivf_meta,
 )
 from hypergraph_gpu_label_propagation_spark.streaming.dedup_stream import (
-    delivery_ids,
+    check_checkpoint_not_reset,
     read_deliveries,
 )
 from hypergraph_gpu_label_propagation_spark.streaming.events import (
@@ -74,16 +74,7 @@ def run_stream_index_append(
     counts: list[int] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # same checkpoint-reset refusal as run_stream_dedup: deliveries
-        # ahead of this batch id mean the checkpoint was reset while
-        # postings persist; proceeding would overwrite delivery dirs
-        ahead = [d for d in delivery_ids(state_dir) if d > batch_id]
-        if ahead:
-            raise ValueError(
-                f"stream checkpoint is behind the index state (batch "
-                f"{batch_id} but deliveries {ahead} exist) — restore "
-                f"the checkpoint or clear {state_dir}"
-            )
+        check_checkpoint_not_reset(state_dir, batch_id)
         postings = _build_inverted_file(
             batch_df,
             meta["id_col"],

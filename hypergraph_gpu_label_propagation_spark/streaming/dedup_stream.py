@@ -127,6 +127,23 @@ def delivery_ids(root: str) -> list[int]:
     return sorted(ids)
 
 
+def check_checkpoint_not_reset(root: str, batch_id: int) -> None:
+    """Refuse a batch id BEHIND existing deliveries: a reset/rewound
+    stream checkpoint over persisting state dirs would silently hide
+    the standing state behind the replay guard AND overwrite its
+    delivery dirs.  A genuine replay re-runs the LAST batch, so only
+    ids <= batch_id can legitimately exist.  Shared by every
+    delivery-dir stream writer (r07 reviews)."""
+    ahead = [d for d in delivery_ids(root) if d > batch_id]
+    if ahead:
+        raise ValueError(
+            f"stream checkpoint is behind the delivery state (batch "
+            f"{batch_id} but deliveries {ahead} exist under {root}) — "
+            "the checkpoint was reset while state persists; restore "
+            "the checkpoint or clear the state dir"
+        )
+
+
 def read_deliveries(
     spark: SparkSession, root: str, before_id: int | None = None
 ) -> DataFrame | None:
@@ -222,20 +239,7 @@ def run_stream_dedup(
     counts: list[int] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # deliveries AHEAD of this batch id mean the stream checkpoint
-        # was reset/rewound while state dirs persist — proceeding would
-        # hide the standing index behind before_id AND overwrite its
-        # deliveries; refuse loudly instead of silently losing dedup
-        # coverage (r07 second review).  A genuine replay re-runs the
-        # LAST batch, so only ids <= batch_id can legitimately exist.
-        ahead = [d for d in delivery_ids(index_dir) if d > batch_id]
-        if ahead:
-            raise ValueError(
-                f"stream checkpoint is behind the index state (batch "
-                f"{batch_id} but deliveries {ahead} exist) — the "
-                f"checkpoint was reset while {index_dir} persists; "
-                "restore the checkpoint or clear the state dir"
-            )
+        check_checkpoint_not_reset(index_dir, batch_id)
         new_bands = banded_signatures(
             batch_df, "doc_id", "text", n, num_hashes, bands
         ).localCheckpoint(eager=True)  # referenced 3x below — one compute

@@ -604,5 +604,5 @@ def test_stream_dedup_refuses_reset_checkpoint(spark, tmp_path):
     spark.createDataFrame(
         [(0, "some text here")], "doc_id long, text string"
     ).coalesce(1).write.parquet(str(stream_dir / "b1"))
-    with pytest.raises(Exception, match="behind the index state"):
+    with pytest.raises(Exception, match="behind the delivery state"):
         run_stream_dedup(spark, str(stream_dir) + "/*", state)
