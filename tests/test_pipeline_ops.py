@@ -829,3 +829,39 @@ def test_export_shards_empty_corpus(spark, tmp_path):
     assert m["rows_per_shard"] == {str(k): 0 for k in range(4)}
     with pytest.raises(ValueError, match="EMPTY"):
         read_shards(spark, path)
+
+
+def test_new_r07_ops_plan_shapes(spark):
+    """r07 plan pins for the new pipeline ops' scale properties:
+    shard_assignment's rank window partitions by shard (an
+    unpartitioned Window would plan a SinglePartition exchange);
+    unigram_logprob's two joins are broadcasts with no cartesian
+    fallback (the corpus-sized token stream is never shuffled on the
+    join key by the vocabulary side)."""
+    from hypergraph_gpu_label_propagation_spark.functions.sampling import (
+        shard_assignment,
+    )
+    from hypergraph_gpu_label_propagation_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here") for i in range(64)],
+        "doc_id long, text string",
+    )
+    shard_plan = (
+        shard_assignment(df, "doc_id", num_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in shard_plan
+
+    lm_plan = (
+        unigram_logprob(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in lm_plan
+    # exactly ONE BroadcastNestedLoopJoin: the documented one-row
+    # totals crossJoin (the repo's scalar-frame pattern) — any second
+    # one would be an accidental cartesian on real data
+    assert lm_plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in lm_plan  # the vocab score join
