@@ -128,3 +128,30 @@ def test_real_decode_row_division_levels():
     struct.pack_into(">I", mp4, at, 0)
     with pytest.raises(ValueError, match="timescale"):
         _real_decode_row("video", bytes(mp4))
+
+
+def test_jpeg_phantom_window_math_is_all_ones_past_end():
+    """r07 second-review regression pin: the inline 48-bit window fetch
+    (multimodal.py MCU loop: sdata = seg + 8*0xFF, window =
+    (chunk >> (32-off)) & 0xFFFF) must yield phantom-1 bits for every
+    position the truncation allowance permits — pos up to send+16.
+    With the buggy 6-byte pad, a fetch starting 8-16 bits past the end
+    took a SHORT slice whose high bits read as zeros, letting a
+    spurious all-zero-prefix Huffman code match instead of the
+    documented truncation error."""
+    seg = b"\x00\xa5"  # 16 real bits: 00000000 10100101
+    sdata = seg + b"\xff" * 8  # the shipped pad
+    send = len(seg) * 8
+    real_bits = "".join(f"{b:08b}" for b in seg)
+    for pos in range(0, send + 17):  # every position the check permits
+        byte0 = pos >> 3
+        off = pos & 7
+        chunk = int.from_bytes(sdata[byte0 : byte0 + 6], "big")
+        window = (chunk >> (32 - off)) & 0xFFFF
+        expect = int(
+            "".join(
+                real_bits[i] if i < send else "1" for i in range(pos, pos + 16)
+            ),
+            2,
+        )
+        assert window == expect, (pos, bin(window), bin(expect))
