@@ -171,26 +171,37 @@ def q_graph_profile(spark, sf_dir):
     edge-size histograms with per-bucket extrema — the first query a
     10^12-file hypergraph needs (it drives the partition-count and
     skew-strategy choices in plans/tuning.py and plans/skew.py).  Pure
-    narrow aggregation chain: two groupBys, no joins."""
+    narrow aggregation chain — r08 (guide §2.3): both histograms ride
+    ONE melt pass (explode to (kind, key) rows) instead of a union of
+    two branches that each re-scanned + re-deduplicated the incidence;
+    rows identical, the oracle SQL is unchanged."""
     inc = _incidence(spark, sf_dir)
 
-    def hist(df, key, kind):
-        deg = df.groupBy(key).agg(F.count("*").alias("d"))
-        # bucket = floor(log2(d)) computed as bit-length - 1: EXACT
-        # integer arithmetic (both engines), immune to FP log2 landing
-        # epsilon below an integer for large counts
-        return deg.select(
-            F.lit(kind).alias("kind"),
-            (F.length(F.bin("d")) - 1).cast("int").alias("bucket"),
-            F.col("d"),
-        ).groupBy("kind", "bucket").agg(
-            F.count("*").cast("long").alias("n"),
-            F.min("d").cast("long").alias("min_count"),
-            F.max("d").cast("long").alias("max_count"),
-        )
-
-    return hist(inc, "vertex_id", "vertex_degree").unionByName(
-        hist(inc, "edge_id", "edge_size")
+    melted = inc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("vertex_degree").alias("kind"),
+                    F.col("vertex_id").alias("k"),
+                ),
+                F.struct(
+                    F.lit("edge_size").alias("kind"), F.col("edge_id").alias("k")
+                ),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.kind").alias("kind"), F.col("_e.k").alias("k"))
+    deg = melted.groupBy("kind", "k").agg(F.count("*").alias("d"))
+    # bucket = floor(log2(d)) computed as bit-length - 1: EXACT
+    # integer arithmetic (both engines), immune to FP log2 landing
+    # epsilon below an integer for large counts
+    return deg.select(
+        "kind",
+        (F.length(F.bin("d")) - 1).cast("int").alias("bucket"),
+        F.col("d"),
+    ).groupBy("kind", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("d").cast("long").alias("min_count"),
+        F.max("d").cast("long").alias("max_count"),
     )
 
 

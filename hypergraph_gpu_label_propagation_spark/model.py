@@ -134,16 +134,33 @@ class Hypergraph:
             F.col("vertex_id").cast("long").alias("vertex_id"),
         )
 
+        # r08 (guide §2.3/§5): when the scalar counts must be computed,
+        # the old shape re-ran the caller's full incidence plan (scan +
+        # any upstream distinct) THREE times — once for the scalar agg
+        # and once per layout materialization — and paid a full
+        # count_distinct(edge_id) exchange for num_edges.  Instead:
+        # compute the incidence ONCE into a transient cache, take the
+        # cheap scalars (max, count) from it, build both layouts from
+        # the cache (eagerly, so the transient can be released here),
+        # and read num_edges exchange-FREE off the edge-partitioned
+        # layout (hashpartitioning(edge_id) satisfies the distinct's
+        # ClusteredDistribution).  When the caller supplies the counts
+        # (tests, loaders that know them), the old fully-lazy shape is
+        # kept unchanged.
         incidence_rows = None
+        pre = None
+        need_ne = False
         if num_vertices is None or num_edges is None:
-            row = incidence.agg(
+            pre = incidence.persist(StorageLevel.MEMORY_AND_DISK)
+            row = pre.agg(
                 (F.max("vertex_id") + 1).alias("nv"),
-                F.count_distinct("edge_id").alias("ne"),
-                F.count("*").alias("rows"),  # free on the same scan
+                F.count("*").alias("rows"),
             ).collect()[0]
-            num_vertices = num_vertices if num_vertices is not None else int(row["nv"] or 0)
-            num_edges = num_edges if num_edges is not None else int(row["ne"] or 0)
+            if num_vertices is None:
+                num_vertices = int(row["nv"] or 0)
+            need_ne = num_edges is None
             incidence_rows = int(row["rows"])
+            incidence = pre
 
         if num_partitions is None:
             if incidence_rows is not None:
@@ -186,6 +203,15 @@ class Hypergraph:
         by_edge = incidence.repartition(num_partitions, "edge_id").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        if pre is not None:
+            # materialize both layouts off the transient cache, then
+            # release it (one incidence computation total); num_edges
+            # reads exchange-free off the edge-partitioned layout
+            by_vertex.count()
+            by_edge.count()
+            pre.unpersist()
+            if need_ne:
+                num_edges = by_edge.select("edge_id").distinct().count()
         salted_by_vertex = salted_by_edge = None
         if salt > 1:
             salted_by_vertex = (
@@ -223,6 +249,51 @@ class Hypergraph:
         return hg
 
     # -- superstep joins (salt-aware) ----------------------------------
+
+    # Broadcast-gather threshold (r08): rows of a one-row-per-id frame
+    # below which the gather joins broadcast the frame against the
+    # layout partitioned by the OUTPUT key, making the downstream
+    # per-key aggregation exchange-free (guide §2.4/§3.1: a broadcast
+    # join replaces the shuffle of the large side; keying the streamed
+    # side by the aggregation key removes the post-join exchange too).
+    # 4M rows ≈ 64 MB framed — comfortably inside this session's 16 g
+    # driver and the 8 GB broadcast cap; at 100 TB (billions of ids)
+    # the check fails and the co-partitioned shuffle path below runs
+    # unchanged.  Conf-overridable for cluster tuning.
+    GATHER_BROADCAST_MAX_ROWS = 4_000_000
+
+    def _gather_broadcast_rows(self) -> int:
+        try:
+            return int(
+                self.spark.conf.get(
+                    "spark.graft.gather.broadcast.maxRows",
+                    str(self.GATHER_BROADCAST_MAX_ROWS),
+                )
+            )
+        except Exception:  # noqa: BLE001 — conservative: keep default
+            return self.GATHER_BROADCAST_MAX_ROWS
+
+    def gather_to_edge(self, frame: DataFrame) -> DataFrame:
+        """incidence ⋈ a one-row-per-vertex frame, planned so a
+        downstream groupBy("edge_id", ...) needs NO exchange: when the
+        frame is vertex-sized and small enough to broadcast, join it
+        broadcast against the EDGE-partitioned layout (the broadcast
+        hash join preserves the streamed side's hashpartitioning
+        (edge_id), which satisfies any ClusteredDistribution containing
+        edge_id).  Falls back to the co-partitioned vertex-side join
+        (one post-join E-sized exchange) when the frame is too big or a
+        salted layout is in force."""
+        if self.salt == 1 and self.num_vertices <= self._gather_broadcast_rows():
+            return self.incidence_by_edge.join(F.broadcast(frame), "vertex_id")
+        return self.join_by_vertex(frame)
+
+    def gather_to_vertex(self, frame: DataFrame) -> DataFrame:
+        """incidence ⋈ a one-row-per-edge frame, planned so a downstream
+        groupBy("vertex_id", ...) needs NO exchange (mirror of
+        :meth:`gather_to_edge`)."""
+        if self.salt == 1 and self.num_edges <= self._gather_broadcast_rows():
+            return self.incidence_by_vertex.join(F.broadcast(frame), "edge_id")
+        return self.join_by_edge(frame)
 
     def _salted(self, layout: DataFrame, frame: DataFrame, key: str) -> DataFrame:
         rep = frame.withColumn(

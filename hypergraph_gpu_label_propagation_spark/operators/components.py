@@ -55,15 +55,18 @@ def cc_superstep(hg: Hypergraph, comp: DataFrame, pointer_jumping: bool = True) 
     one extra one-row-per-vertex self-join; hub-edge hypergraphs (the
     common case here) see negligible overhead.
     """
-    # join_by_vertex/join_by_edge use the salted layouts when
-    # freeze(salt=N) built them — exact (min is algebraic)
+    # gather_to_* (r08, guide §2.4): small one-row-per-id frames are
+    # broadcast against the layout partitioned by the aggregation key,
+    # so both min-gathers below run with ZERO E-sized exchanges; big
+    # frames (or salted layouts) fall back to the co-partitioned
+    # shuffle path — exact either way (min is algebraic)
     edge_min = (
-        hg.join_by_vertex(comp)
+        hg.gather_to_edge(comp)
         .groupBy("edge_id")
         .agg(F.min("component").alias("edge_min"))
     )
     gathered = (
-        hg.join_by_edge(edge_min)
+        hg.gather_to_vertex(edge_min)
         .groupBy("vertex_id")
         .agg(F.min("edge_min").alias("gather_min"))
     )

@@ -180,19 +180,25 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_rows = []
-    for j in range(bands):
-        cols = [F.col(f"mh{j * r + t}").cast("string") for t in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(j).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
+    # r08 (guide §2.3): one explode over a band-struct array instead of
+    # a bands-way union — the union's branches each re-aggregated the
+    # signature subplan (the shingle explode + groupBy) per band; the
+    # explode computes it once and emits the identical (id, band,
+    # bucket) rows in a single projection.
+    band_structs = [
+        F.struct(
+            F.lit(j).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{j * r + t}").cast("string") for t in range(r)]
+                )
+            ).alias("bucket"),
         )
-    banded = band_rows[0]
-    for bdf in band_rows[1:]:
-        banded = banded.unionByName(bdf)
+        for j in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bb")
+    ).select(F.col(id_col), F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -263,19 +269,23 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(F.col(id_col), h60("tok").alias("h"))
+    # r08 (guide §2.3 narrow work per row): the ±1 vote sum per bit is
+    # algebraically 2*(#set bits) - n, so aggregate the raw bit counts
+    # (a bare shiftright+AND per bit, no conditional branch per row)
+    # plus one count(*), and compare 2*cnt_b > n at the end — exact
+    # integer identity with the previous when(+1/-1) sums.
     bit_sums = tok.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
     acc = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        acc = acc + F.when(
+            2 * F.col(f"s{b}") > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select(F.col(id_col), acc.alias("simhash"))
 
 

@@ -115,6 +115,115 @@ class CorenessResult:
     changes_per_iter: list[int] = field(default_factory=list)
 
 
+def _h_sweep(scope, values, sweep: str, w, broadcast_values: bool = False) -> DataFrame:
+    """One h-index application: (u, _h) for every u in ``scope``.
+
+    Module-level so the plan-capture tooling (tools/dump_plans_r08.py)
+    pins exactly the sweep shape the loop runs.  ``sweep`` dispatch:
+    "arr"/"auto" run the single-exchange sorted-array form (r07 A/B
+    winner; the r07 code dispatched only on "arr", silently running
+    auto's full sweeps on the slower hist path — ADVICE r07 fix),
+    "hist" the histogram+window form.
+
+    ``broadcast_values`` (r08, guide §2.4): the values frame is
+    vertex-sized; when it fits the broadcast threshold the caller
+    partitions the adjacency by ``u`` (the aggregation key) instead of
+    ``v`` (the join key) and this sweep broadcasts the values — the
+    groupBy("u") then runs IN PLACE and the sweep's E-sized post-join
+    exchange disappears (zero E-sized exchanges per sweep).
+    """
+    if broadcast_values:
+        nb = scope.join(
+            F.broadcast(values.select(F.col("u").alias("v"), "c")), "v"
+        ).select("u", "c")
+    else:
+        # shuffle_hash hint on the (small, vertex-sized) values side:
+        # the adjacency is hash-partitioned on the join key, so a
+        # shuffled-hash join probes it IN PLACE — the default
+        # SortMergeJoin re-SORTED the multi-million row adjacency every
+        # round (measured the dominant per-round cost at sf0.1)
+        nb = scope.join(
+            values.select(F.col("u").alias("v"), "c").hint("shuffle_hash"),
+            "v",
+        ).select("u", "c")
+    if sweep in ("arr", "auto"):
+        # single-exchange sweep (r07): one groupBy(u) with collect_list,
+        # then H inline over the sorted array (h = #{rank i: a_i >= i}
+        # for a desc-sorted).  The hist path below pays TWO post-join
+        # exchanges — hashpartitioning(u,c) for the histogram does NOT
+        # satisfy the window's ClusteredDistribution(u), so the window
+        # re-exchanges — at the price of map-side combine; this path
+        # shuffles every neighbor value once but runs one exchange and
+        # no sort-window.
+        arr = nb.groupBy("u").agg(
+            F.sort_array(F.collect_list("c"), asc=False).alias("_a")
+        )
+        return arr.select(
+            "u",
+            F.size(
+                F.filter("_a", lambda x, i: x >= i + F.lit(1))
+            ).cast("int").alias("_h"),
+        )
+    # h-index from the VALUE HISTOGRAM instead of ranking every neighbor
+    # row: h(u) = max over distinct values c of min(c, #neighbors with
+    # value >= c) — the groupBy shrinks the window input from deg(u)
+    # rows to the (bounded) distinct-value count, and the partial
+    # aggregation absorbs high-degree skew pre-shuffle
+    cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
+    return (
+        cnt.withColumn("_cum", F.sum("_n").over(w))
+        .groupBy("u")
+        .agg(F.max(F.least(F.col("c"), F.col("_cum"))).cast("int").alias("_h"))
+    )
+
+
+def coreness_round_frame(
+    hg: Hypergraph,
+    half: DataFrame,
+    n_part: int,
+    fused_steps: int = 4,
+    sweep: str = "arr",
+) -> DataFrame:
+    """Capture-only replica of ONE full (non-pruned) coreness round's
+    pre-observe frame — the exact loop-body shape the default bench path
+    materializes every round.  Used by tools/dump_plans_r08.py to pin
+    the per-round Exchange structure; never called from coreness()."""
+    use_bcast = hg.num_vertices <= hg._gather_broadcast_rows()
+    if use_bcast:
+        n_part = max(n_part, hg.spark.sparkContext.defaultParallelism)
+    sym = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    adj = sym.repartition(n_part, "u" if use_bcast else "v").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    adj.count()
+    state = (
+        adj.groupBy("u")
+        .agg(F.count("*").cast("int").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur = state
+    for _ in range(fused_steps):
+        h = _h_sweep(adj, cur, sweep, w, broadcast_values=use_bcast)
+        cur = h.select("u", F.col("_h").alias("c"))
+    return (
+        state.select("u", F.col("c").alias("_c0"))
+        .join(cur.hint("shuffle_hash"), "u")
+        .select(
+            "u", "c", "_c0",
+            (F.col("c") != F.col("_c0")).cast("int").alias("_ch"),
+        )
+    )
+
+
 def coreness(
     hg: Hypergraph,
     max_iterations: int = 500,
@@ -123,7 +232,13 @@ def coreness(
     adj: DataFrame | None = None,
     init_cap: bool = True,
     frontier_threshold: float = 0.0,
-    fused_steps: int = 4,
+    # r08: 8 (was 4) — under broadcast-gather a sweep no longer pays an
+    # E-sized exchange, so deeper fusing trades almost-free sweeps for
+    # fewer materialized-round boundaries; measured min-of-1 at sf0.1:
+    # fused4 14.1 s / 11 rounds, fused8 10.4 s / 6 rounds, fused12
+    # 12.3 s (overshoots convergence by ~16 wasted sweeps).  Values are
+    # fusing-invariant (tests pin this).
+    fused_steps: int = 8,
     fused_steps_pruned: int | None = None,
     scope_inner_steps: bool = False,
     gauss_seidel: bool = False,
@@ -291,6 +406,10 @@ def coreness(
     wall LOSES 3x (74.0 s vs 22.3 s at sf0.1).  See BENCH_SCALING.md
     round 6.
     """
+    if sweep not in ("hist", "arr", "auto"):
+        raise ValueError(
+            f"unknown sweep mode {sweep!r}; use 'hist', 'arr' or 'auto'"
+        )
     if fused_steps_pruned is None:
         fused_steps_pruned = fused_steps
     cores = hg.spark.sparkContext.defaultParallelism
@@ -315,7 +434,34 @@ def coreness(
     )
     n_pairs = sym.count()
     n_part = loop_partitions(n_pairs, cores)
-    adj = sym.repartition(n_part, "v").localCheckpoint(eager=True)
+    # broadcast-gather (r08, guide §2.4): the per-sweep values frame is
+    # vertex-sized; when it fits the broadcast threshold, partition the
+    # adjacency by the AGGREGATION key ``u`` and broadcast the values on
+    # ``v`` — the sweep's groupBy("u") then aggregates in place and the
+    # per-sweep E-sized exchange disappears entirely (the old shape
+    # exchanged every neighbor value to its u-partition every sweep,
+    # ~72% of sweep cost at sf1, r07 measurement).  Over the broadcast
+    # threshold (billions of vertices) the old v-partitioned
+    # shuffled-hash shape runs unchanged.
+    use_bcast = hg.num_vertices <= hg._gather_broadcast_rows()
+    if use_bcast:
+        # the cached partition count IS the sweep's parallelism under
+        # broadcast-gather (no exchange ever re-splits the scan), so
+        # floor it at the core count — the shuffle-volume sizing alone
+        # left sf0.1's sweeps running 8 tasks on 32 cores (r08)
+        n_part = max(n_part, cores)
+    # persist()+count(), NOT localCheckpoint: a checkpoint scan is a
+    # LogicalRDD with UNKNOWN outputPartitioning, so every sweep's
+    # groupBy(u) re-exchanged the adjacency anyway (measured r08 —
+    # the whole point of partitioning by the aggregation key is that
+    # InMemoryTableScan REPORTS hashpartitioning(u) and the sweep
+    # aggregates in place).  Explicitly unpersisted before return.
+    from pyspark.storagelevel import StorageLevel
+
+    adj = sym.repartition(n_part, "u" if use_bcast else "v").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    adj.count()
     # second copy partitioned by u for the frontier path's scope
     # semi-join: without it, every frontier round re-exchanged the FULL
     # adjacency on u; with it, frontier rounds exchange only the (small)
@@ -410,46 +556,14 @@ def coreness(
             cur = state
 
             def h_of(scope, values):
-                # shuffle_hash hint on the (small, vertex-sized) values
-                # side: the adjacency is already hash-partitioned on the
-                # join key, so a shuffled-hash join probes it IN PLACE —
-                # the default SortMergeJoin re-SORTED the multi-million
-                # row adjacency every round (measured the dominant
-                # per-round cost at sf0.1)
-                nb = scope.join(
-                    values.select(F.col("u").alias("v"), "c").hint("shuffle_hash"),
-                    "v",
-                ).select("u", "c")
-                if sweep == "arr":
-                    # single-exchange sweep (r07): one groupBy(u) with
-                    # collect_list, then H inline over the sorted array
-                    # (h = #{rank i: a_i >= i} for a desc-sorted).  The
-                    # hist path below pays TWO post-join exchanges —
-                    # hashpartitioning(u,c) for the histogram does NOT
-                    # satisfy the window's ClusteredDistribution(u), so
-                    # the window re-exchanges — at the price of map-side
-                    # combine; this path shuffles every neighbor value
-                    # once but runs one exchange and no sort-window.
-                    arr = nb.groupBy("u").agg(
-                        F.sort_array(F.collect_list("c"), asc=False).alias("_a")
-                    )
-                    return arr.select(
-                        "u",
-                        F.size(
-                            F.filter("_a", lambda x, i: x >= i + F.lit(1))
-                        ).cast("int").alias("_h"),
-                    )
-                # h-index from the VALUE HISTOGRAM instead of ranking
-                # every neighbor row: h(u) = max over distinct values c
-                # of min(c, #neighbors with value >= c) — the groupBy
-                # shrinks the window input from deg(u) rows to the
-                # (bounded) distinct-value count, and the partial
-                # aggregation absorbs high-degree skew pre-shuffle
-                cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
-                return (
-                    cnt.withColumn("_cum", F.sum("_n").over(w))
-                    .groupBy("u")
-                    .agg(F.max(F.least(F.col("c"), F.col("_cum"))).cast("int").alias("_h"))
+                # module-level _h_sweep (plan-capture refactor; the
+                # "arr"/"auto" dispatch fix rides it — ADVICE r07).
+                # broadcast only when the scope is the full u-partitioned
+                # adjacency (pruned scopes are frontier-sized subsets —
+                # they keep the shuffle shape)
+                return _h_sweep(
+                    scope, values, sweep, w,
+                    broadcast_values=use_bcast and scope is adj,
                 )
 
             obs = Observation(f"coreness_{iterations}")
@@ -737,7 +851,7 @@ def coreness(
                     F.col("_pv").alias("c_old"),
                     F.col("c").alias("c_new"),
                 )
-            elif "_c0" in new_state.columns:
+            elif sweep == "auto" and "_c0" in new_state.columns:
                 # full rounds: the net round delta — only ever used by
                 # the inc ENTRY round's fresh sweep, where it scopes the
                 # h recompute (superset of the last sweep's changed set
@@ -766,6 +880,7 @@ def coreness(
         .join(state.select(F.col("u").alias("vertex_id"), "c"), "vertex_id", "left")
         .select("vertex_id", F.coalesce("c", F.lit(0)).cast("int").alias("coreness"))
     )
+    adj.unpersist()  # loop-local cache (state is checkpointed, not derived from it)
     return CorenessResult(
         coreness=out, iterations=iterations, changes_per_iter=changes_per_iter
     )

@@ -126,10 +126,26 @@ def k_truss(
         # merge, not a join — see the stats discipline in the module
         # doc); the observe pre-counts next round's removals so the
         # strategy choice is action-free.
-        wedges0 = base.join(
-            base.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+        # r08 (guide §2.4): broadcast the pair set in the seeding pass
+        # when it fits (triangles.TRIANGLES_BROADCAST_MAX_ROWS) — the
+        # wedge intermediate is then never exchanged; over the
+        # threshold the r06 shuffle shape runs unchanged
+        from hypergraph_gpu_label_propagation_spark.operators.triangles import (
+            _triangles_broadcast_rows,
         )
-        tri0 = wedges0.join(base.select("u", F.col("v").alias("w")), ["u", "w"])
+
+        _maybe_bcast = (
+            F.broadcast
+            if n_alive <= _triangles_broadcast_rows(hg.spark)
+            else (lambda df: df)
+        )
+        wedges0 = base.join(
+            _maybe_bcast(base.select(F.col("u").alias("v"), F.col("v").alias("w"))),
+            "v",
+        )
+        tri0 = wedges0.join(
+            _maybe_bcast(base.select("u", F.col("v").alias("w"))), ["u", "w"]
+        )
         cnt0 = (
             tri0.select(
                 F.explode(

@@ -152,11 +152,15 @@ def lp_superstep(
         # narrow shuffles: (key,label,count) rows; edges whose every
         # member is unlabeled drop out of the argmax and are coalesced
         # back to label 0 against the (co-partitioned, shuffle-free)
-        # edge universe — reference all-zero-counts rule.  join_by_vertex
-        # / join_by_edge route through the salted layouts when
-        # freeze(salt=N) built them (model.py; exact — the majority
-        # aggregation is algebraic)
-        gathered_e = hg.join_by_vertex(labels_h)
+        # edge universe — reference all-zero-counts rule.  gather_to_*
+        # (r08, guide §2.4): when the one-row-per-id frame is small
+        # enough to broadcast, the gather joins it against the layout
+        # partitioned by the AGGREGATION key, so the majority groupBys
+        # below run exchange-free — zero E-sized exchanges per
+        # superstep; too-big frames (or salted layouts) fall back to
+        # the co-partitioned shuffle path (exact either way — the
+        # majority aggregation is algebraic)
+        gathered_e = hg.gather_to_edge(labels_h)
         best_e = majority_label_grouped_sql(gathered_e, "edge_id", "label", max_labels, "_m")
         if labels_in_range:
             # every input label is in [0, max_labels) (true from the
@@ -179,7 +183,7 @@ def lp_superstep(
             "label",
             (F.col("label") != F.col("_old")).cast("int").alias("changed"),
         )
-    gathered = hg.join_by_edge(edge_labels).select("vertex_id", "label")
+    gathered = hg.gather_to_vertex(edge_labels).select("vertex_id", "label")
     if strategy == "vector":
         maj = majority_label(gathered, "vertex_id", "label", max_labels, out_col="_maj")
     else:

@@ -57,16 +57,23 @@ def _walk_gather(hg: Hypergraph, state: DataFrame) -> DataFrame:
         "vertex_id", (F.col("rank") * F.col("inv_degree")).alias("contrib")
     )
     # phase 1: edge mass m_e = (sum_{v in e} contrib_v) / |e|
-    # (join_by_vertex/join_by_edge route through the salted layouts when
-    # freeze(salt=N) built them — exact, sum/count are algebraic)
+    # gather_to_* (r08, guide §2.4): small one-row-per-id frames are
+    # broadcast against the layout partitioned by the aggregation key,
+    # so both gathers run with ZERO E-sized exchanges per iteration;
+    # big frames (or salted layouts) fall back to the co-partitioned
+    # shuffle path — exact either way, sum/count are algebraic.  The
+    # FP sum order within each edge/vertex group is the same
+    # partial/final aggregation either way (one partition holds the
+    # whole group pre-aggregation under broadcast), and every board
+    # row rounds to 6 decimals with tol bounds far below that.
     edge_mass = (
-        hg.join_by_vertex(contrib)
+        hg.gather_to_edge(contrib)
         .groupBy("edge_id")
         .agg((F.sum("contrib") / F.count("*")).alias("mass"))
     )
     # phase 2: gather r'_v = sum_{e incident to v} m_e
     return (
-        hg.join_by_edge(edge_mass)
+        hg.gather_to_vertex(edge_mass)
         .groupBy("vertex_id")
         .agg(F.sum("mass").alias("gathered"))
     )

@@ -39,6 +39,44 @@ from hypergraph_gpu_label_propagation_spark.plans.tuning import loop_conf
 # formula leaves sf0.1 (1.2M pairs) at its measured-best 32.
 PAIRS_PER_PARTITION = 100_000
 
+# r08 broadcast wedge pass (guide §2.4/§3.1): below this adjacency row
+# count, both triangle joins broadcast the (u,v) pair set — the wedge
+# intermediate (tens of millions of rows, the dominant exchange of the
+# old plan) is then never shuffled at all; the whole count runs as one
+# scan stage over the adjacency partitions.  16M pairs ≈ 256 MB raw /
+# under 1 GB as a hashed relation — fine for this session's 16 GiB
+# driver (local mode holds ONE copy); on a memory-tight cluster lower
+# `spark.graft.triangles.broadcast.maxRows`.  Above the threshold the
+# measured r05 shuffle shape (wedge-partitioned sort-merge + semi)
+# runs unchanged.
+TRIANGLES_BROADCAST_MAX_ROWS = 16_000_000
+
+
+def _triangles_broadcast_rows(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                "spark.graft.triangles.broadcast.maxRows",
+                str(TRIANGLES_BROADCAST_MAX_ROWS),
+            )
+        )
+    except Exception:  # noqa: BLE001 — conservative: keep default
+        return TRIANGLES_BROADCAST_MAX_ROWS
+
+
+def _oriented_triangles(adj: DataFrame, n_pairs: int) -> DataFrame:
+    """(u, v, w) oriented triangle rows (u < v < w, each triangle once)
+    — broadcast wedge shape when the pair set fits (see
+    TRIANGLES_BROADCAST_MAX_ROWS), else the shuffle wedge join."""
+    spark = adj.sparkSession
+    right = adj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    closing = adj.select(F.col("u"), F.col("v").alias("w"))
+    if n_pairs <= _triangles_broadcast_rows(spark):
+        wedges = adj.join(F.broadcast(right), "v")
+        return wedges.join(F.broadcast(closing), ["u", "w"], "left_semi")
+    wedges = adj.join(right, "v")
+    return wedges.join(closing, ["u", "w"], "left_semi")
+
 
 def _wedge_partitions(spark, n_pairs: int) -> int:
     cores = spark.sparkContext.defaultParallelism
@@ -99,12 +137,7 @@ def triangle_count(
     elif n_pairs is None:
         n_pairs = adj.count()
     with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
-        wedges = adj.join(
-            adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
-        )  # u < v < w by construction
-        tri = wedges.join(
-            adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-        )
+        tri = _oriented_triangles(adj, n_pairs)  # u < v < w by construction
         out = tri.agg(F.count("*").alias("n_triangles")).localCheckpoint(eager=True)
     if own is not None:
         own.unpersist()
@@ -128,8 +161,7 @@ def per_vertex_triangle_count(
     elif n_pairs is None:
         n_pairs = adj.count()
     with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
-        wedges = adj.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
-        tri = wedges.join(adj.select("u", F.col("v").alias("w")), ["u", "w"], "left_semi")
+        tri = _oriented_triangles(adj, n_pairs)
         per = (
             tri.select(F.explode(F.array("u", "v", "w")).alias("vertex_id"))
             .groupBy("vertex_id")

@@ -191,6 +191,13 @@ def write_bucketed(
         # their directories survive -> LOCATION_ALREADY_EXISTS)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    # NOTE (r08, measured negative): sharing the incidence computation
+    # across the two writes via a transient persist() looked like an
+    # obvious §2.3 win but measured 10.7 s vs 2.9 s at sf0.1 — AQE
+    # coalesces the cached distinct down to 1-2 partitions (it is only
+    # a few MB), and BOTH bucketed writes then run 1-2 tasks wide.
+    # The double computation keeps each write's own exchange (and its
+    # write parallelism) and is the faster shape at every measured SF.
     (
         incidence.write.mode(mode)
         .bucketBy(buckets, "vertex_id").sortBy("vertex_id")
@@ -201,11 +208,27 @@ def write_bucketed(
         .bucketBy(buckets, "edge_id").sortBy("edge_id")
         .format("parquet").saveAsTable(by_edge)
     )
+    # scalar counts ride the commit manifest (computed once here, off
+    # the written by_edge table — the per-run freeze_from_bucketed no
+    # longer pays a count_distinct scan; build-once/run-many shape).
+    # ONE job: the per-edge group runs bucket-local (the scan reports
+    # the bucketing), the outer agg is a single-row reduction.
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.table(by_edge)
+        .groupBy("edge_id")
+        .agg(F.max("vertex_id").alias("_mv"))
+        .agg((F.max("_mv") + 1).alias("nv"), F.count("*").alias("ne"))
+        .collect()[0]
+    )
+    nv, ne = int(row["nv"] or 0), int(row["ne"] or 0)
     _write_manifest(
         spark,
         name,
-        {"name": name, "buckets": buckets, "tables": [by_vertex, by_edge],
-         "catalog": "builtin"},
+        {"name": name, "kind": "bucketed_dual", "buckets": buckets,
+         "tables": [by_vertex, by_edge], "catalog": "builtin",
+         "num_vertices": nv, "num_edges": ne},
     )
     return by_vertex, by_edge
 
@@ -239,8 +262,27 @@ def freeze_from_bucketed(
             "(or was started and interrupted); rebuild with "
             "write_bucketed before reading"
         )
+    with open(manifest) as f:
+        meta = json.load(f)
+    # refuse a manifest of a different layout KIND under the same name
+    # (r07 ADVICE: write_ivf_index shares the manifest path — an
+    # ivf-kind manifest must not vouch for the _by_vertex/_by_edge
+    # tables).  Manifests written before the kind field are bucketed by
+    # construction (only write_bucketed produced them).
+    kind = meta.get("kind", "bucketed_dual")
+    if kind != "bucketed_dual":
+        raise ValueError(
+            f"layout {name!r} has a {kind!r} manifest, not a bucketed "
+            "dual-table layout — refusing to freeze from it"
+        )
     by_vertex = spark.table(f"{name}_by_vertex")
     by_edge = spark.table(f"{name}_by_edge")
+    if num_vertices is None:
+        # counts ride the commit manifest since r08 (computed once at
+        # write time); legacy manifests fall back to the table scan
+        num_vertices = meta.get("num_vertices")
+    if num_edges is None:
+        num_edges = meta.get("num_edges")
     if num_vertices is None or num_edges is None:
         row = by_vertex.agg(
             (F.max("vertex_id") + 1).alias("nv"), F.count_distinct("edge_id").alias("ne")

@@ -106,6 +106,14 @@ def dense_rank_by(
     count AND range boundaries, so an SQL engine reproduces them with
     ``ROW_NUMBER() OVER (ORDER BY key)``.
     """
+    # r08: scale the range-bucket count with the session's parallelism
+    # instead of always materializing `buckets` tasks — ranks are
+    # independent of the bucket count (row_number within key-ordered
+    # ranges + cumulative offsets), so this is plan-shape only; a
+    # 256-task checkpoint on a hundreds-of-rows frame was pure
+    # scheduling overhead, while a bigger cluster (more cores) still
+    # gets more ranges automatically.
+    buckets = max(8, min(buckets, 2 * df.sparkSession.sparkContext.defaultParallelism))
     part = df.repartitionByRange(buckets, *order_cols)
     w = Window.partitionBy("_b").orderBy(*order_cols)
     # MUST materialize: repartitionByRange SAMPLES its boundaries with a
@@ -164,7 +172,10 @@ def derive_hypergraph_frames(
 
     repo_edges = dense_ids(source_files, ["repo"], "repo_eid")
     commit_edges = dense_ids(source_files, ["repo", "commit"], "commit_eid")
-    n_repos = repo_edges.count()
+    # r08: the repo-count offset rides as a broadcast one-row scalar
+    # frame instead of a driver count() action (guide §5: no collect in
+    # the query path) — same value, one less job per derivation
+    n_repos_f = repo_edges.agg(F.count("*").alias("_nr"))
 
     with_v = source_files.join(vertex_map, ["repo", "path"])
     inc_repo = (
@@ -174,7 +185,8 @@ def derive_hypergraph_frames(
     )
     inc_commit = (
         with_v.join(commit_edges, ["repo", "commit"])
-        .select((F.col("commit_eid") + F.lit(n_repos)).alias("edge_id"), "vertex_id")
+        .crossJoin(F.broadcast(n_repos_f))
+        .select((F.col("commit_eid") + F.col("_nr")).alias("edge_id"), "vertex_id")
         .distinct()
     )
     incidence = inc_repo.unionByName(inc_commit)

@@ -185,7 +185,13 @@ def read_deliveries(
         base = name[:-4]
         m = _DELIVERY_RE.match(base)
         if m and base not in names:
-            os.rename(os.path.join(root, name), os.path.join(root, base))
+            try:
+                os.rename(os.path.join(root, name), os.path.join(root, base))
+            except FileNotFoundError:
+                # a concurrent reader healed the same .old first — the
+                # base now exists (or will, via its rename); a lost
+                # race is already-healed, not an error (r07 ADVICE)
+                pass
             bases[int(m.group(1))] = base
     paths = []
     for did in sorted(bases):
