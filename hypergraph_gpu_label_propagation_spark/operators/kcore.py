@@ -132,6 +132,53 @@ def _h_sweep(scope, values, sweep: str, w, broadcast_values: bool = False) -> Da
     groupBy("u") then runs IN PLACE and the sweep's E-sized post-join
     exchange disappears (zero E-sized exchanges per sweep).
     """
+    if broadcast_values and sweep == "cnt":
+        # histogram-hybrid sweep (r08, the r07 verdict's value-domain
+        # lever made viable by broadcast-gather): with the adjacency
+        # partitioned by u, BOTH aggregations below satisfy their
+        # distributions in place, so the two-level shape costs no
+        # exchange — and the first level collapses the deg(u) neighbor
+        # values into (c, n) counts with a plain hash-agg ++, instead
+        # of materializing and sorting a deg(u)-element array per
+        # vertex.  The per-vertex entry array is DISTINCT-VALUE sized
+        # (bounded by the running h, tens of entries), so the fold that
+        # walks it desc-by-c is metadata work.  h identical: max over
+        # distinct c of min(c, #neighbors >= c).
+        #
+        # MEASURED (r08) and kept NON-default: warm it is a wash at
+        # sf0.1 (11.7-12.8 s vs arr-broadcast 10.4 s) and a mild win
+        # cold at sf1 (53.9 s vs 60.3 s), but the HOF fold nested
+        # `fused_steps` deep makes the per-round plans expensive to
+        # optimize/codegen — the COLD first run pays 20-36 s at sf0.1.
+        # The value sequence is bit-identical to "arr" (checksum-pinned
+        # A/B); flip `sweep="cnt"` where single sweeps are minutes long
+        # and the driver-side planning cost amortizes.
+        nb = scope.join(
+            F.broadcast(values.select(F.col("u").alias("v"), "c")), "v"
+        ).select("u", "c")
+        cnt = nb.groupBy("u", "c").agg(F.count("*").alias("_n"))
+        entries = F.sort_array(
+            F.collect_list(F.struct(F.col("c"), F.col("_n"))), asc=False
+        )
+        arr = cnt.groupBy("u").agg(entries.alias("_e"))
+        zero = F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(0).cast("int").alias("h")
+        )
+        return arr.select(
+            "u",
+            F.aggregate(
+                "_e",
+                zero,
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["_n"]).alias("cum"),
+                    F.greatest(
+                        acc["h"],
+                        F.least(e["c"], (acc["cum"] + e["_n"]).cast("int")),
+                    ).alias("h"),
+                ),
+                lambda acc: acc["h"],
+            ).cast("int").alias("_h"),
+        )
     if broadcast_values:
         nb = scope.join(
             F.broadcast(values.select(F.col("u").alias("v"), "c")), "v"
@@ -406,19 +453,21 @@ def coreness(
     wall LOSES 3x (74.0 s vs 22.3 s at sf0.1).  See BENCH_SCALING.md
     round 6.
     """
-    if sweep not in ("hist", "arr", "auto"):
+    if sweep not in ("hist", "arr", "auto", "cnt"):
         raise ValueError(
-            f"unknown sweep mode {sweep!r}; use 'hist', 'arr' or 'auto'"
+            f"unknown sweep mode {sweep!r}; use 'hist', 'arr', 'auto' or 'cnt'"
         )
     if fused_steps_pruned is None:
         fused_steps_pruned = fused_steps
     cores = hg.spark.sparkContext.defaultParallelism
     half = clique_expansion(hg) if adj is None else adj
-    # pre-partition the symmetrized adjacency on the per-round join key
-    # at the LOOP's partition count: the neighbor-values join inside the
-    # loop then reuses this hashpartitioning(v, n_part) and only the
-    # (vertex-sized) state frame exchanges each round — the adjacency
-    # (the big side) is shuffled exactly once, here.
+    # pre-partition the symmetrized adjacency ONCE, on the key the
+    # per-sweep plan needs (r08): under broadcast-gather that is the
+    # AGGREGATION key ``u`` — the values broadcast on ``v`` and the
+    # sweep's groupBy(u) aggregates in place, so no sweep ever moves an
+    # E-sized byte; on the over-threshold fallback it is the JOIN key
+    # ``v`` and only the (vertex-sized) values frame exchanges per
+    # sweep.
     # n_part is sized from the EXPANSION row count, not the incidence:
     # the clique expansion can be several times the incidence (4x on
     # the sf1 audit input, arbitrarily more on dense co-occurrence),

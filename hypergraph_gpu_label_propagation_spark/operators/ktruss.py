@@ -134,18 +134,34 @@ def k_truss(
             _triangles_broadcast_rows,
         )
 
-        _maybe_bcast = (
-            F.broadcast
-            if n_alive <= _triangles_broadcast_rows(hg.spark)
-            else (lambda df: df)
-        )
+        _use_bcast0 = n_alive <= _triangles_broadcast_rows(hg.spark)
+        _maybe_bcast = F.broadcast if _use_bcast0 else (lambda df: df)
         wedges0 = base.join(
             _maybe_bcast(base.select(F.col("u").alias("v"), F.col("v").alias("w"))),
             "v",
         )
-        tri0 = wedges0.join(
-            _maybe_bcast(base.select("u", F.col("v").alias("w"))), ["u", "w"]
-        )
+        if _use_bcast0 and 0 < hg.num_vertices < 2**31:
+            # packed single-long closing key (LongHashedRelation; see
+            # triangles._oriented_triangles) — base pairs are unique so
+            # the inner join's multiplicity is unchanged
+            tri0 = (
+                wedges0.withColumn(
+                    "_uw", F.shiftleft(F.col("u"), 32) + F.col("w")
+                )
+                .join(
+                    F.broadcast(
+                        base.select(
+                            (F.shiftleft(F.col("u"), 32) + F.col("v")).alias("_uw")
+                        )
+                    ),
+                    "_uw",
+                )
+                .drop("_uw")
+            )
+        else:
+            tri0 = wedges0.join(
+                _maybe_bcast(base.select("u", F.col("v").alias("w"))), ["u", "w"]
+            )
         cnt0 = (
             tri0.select(
                 F.explode(

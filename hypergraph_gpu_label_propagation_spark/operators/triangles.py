@@ -64,15 +64,35 @@ def _triangles_broadcast_rows(spark) -> int:
         return TRIANGLES_BROADCAST_MAX_ROWS
 
 
-def _oriented_triangles(adj: DataFrame, n_pairs: int) -> DataFrame:
+def _oriented_triangles(
+    adj: DataFrame, n_pairs: int, max_id: int | None = None
+) -> DataFrame:
     """(u, v, w) oriented triangle rows (u < v < w, each triangle once)
     — broadcast wedge shape when the pair set fits (see
-    TRIANGLES_BROADCAST_MAX_ROWS), else the shuffle wedge join."""
+    TRIANGLES_BROADCAST_MAX_ROWS), else the shuffle wedge join.
+
+    ``max_id``: exclusive upper bound on vertex ids when the caller
+    knows it (hg.num_vertices); below 2^31 the closing-edge key is
+    packed into one long so the broadcast relation is a
+    LongHashedRelation (cheaper build + probe) instead of a
+    composite-key map."""
     spark = adj.sparkSession
     right = adj.select(F.col("u").alias("v"), F.col("v").alias("w"))
     closing = adj.select(F.col("u"), F.col("v").alias("w"))
     if n_pairs <= _triangles_broadcast_rows(spark):
         wedges = adj.join(F.broadcast(right), "v")
+        if max_id is not None and 0 < max_id < 2**31:
+            # (u << 32) | w is injective for dense non-negative ids
+            closing_packed = adj.select(
+                (F.shiftleft(F.col("u"), 32) + F.col("v")).alias("_uw")
+            )
+            return (
+                wedges.withColumn(
+                    "_uw", F.shiftleft(F.col("u"), 32) + F.col("w")
+                )
+                .join(F.broadcast(closing_packed), "_uw", "left_semi")
+                .drop("_uw")
+            )
         return wedges.join(F.broadcast(closing), ["u", "w"], "left_semi")
     wedges = adj.join(right, "v")
     return wedges.join(closing, ["u", "w"], "left_semi")
@@ -137,7 +157,7 @@ def triangle_count(
     elif n_pairs is None:
         n_pairs = adj.count()
     with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
-        tri = _oriented_triangles(adj, n_pairs)  # u < v < w by construction
+        tri = _oriented_triangles(adj, n_pairs, max_id=hg.num_vertices)  # u < v < w by construction
         out = tri.agg(F.count("*").alias("n_triangles")).localCheckpoint(eager=True)
     if own is not None:
         own.unpersist()
@@ -161,7 +181,7 @@ def per_vertex_triangle_count(
     elif n_pairs is None:
         n_pairs = adj.count()
     with loop_conf(hg.spark, _wedge_partitions(hg.spark, n_pairs), adaptive=True):
-        tri = _oriented_triangles(adj, n_pairs)
+        tri = _oriented_triangles(adj, n_pairs, max_id=hg.num_vertices)
         per = (
             tri.select(F.explode(F.array("u", "v", "w")).alias("vertex_id"))
             .groupBy("vertex_id")

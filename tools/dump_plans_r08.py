@@ -125,15 +125,21 @@ def main() -> None:
         _wedge_partitions,
     )
 
+    from hypergraph_gpu_label_propagation_spark.operators import triangles as tri_mod
+
     adj = half
     n_pairs = adj.count()
     with loop_conf(spark, _wedge_partitions(spark, n_pairs), adaptive=True):
-        wedges = adj.join(
-            adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
-        )
-        tri = wedges.join(
-            adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-        )
+        if hasattr(tri_mod, "_oriented_triangles"):
+            tri = tri_mod._oriented_triangles(adj, n_pairs)
+        else:
+            # round-start tree: the r07 shuffle wedge shape
+            wedges = adj.join(
+                adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+            )
+            tri = wedges.join(
+                adj.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+            )
         dump("triangle_count", tri.agg(F.count("*").alias("n_triangles")))
 
     # one-shot board entries
