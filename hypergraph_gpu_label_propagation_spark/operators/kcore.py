@@ -483,6 +483,15 @@ def coreness(
     )
     n_pairs = sym.count()
     n_part = loop_partitions(n_pairs, cores)
+    narrow_ids = 0 < hg.num_vertices < 2**31
+    if narrow_ids:
+        # §2.3 narrower types: dense vertex ids fit int — halve the
+        # cached adjacency bytes and the per-sweep probe width; the
+        # result frame casts back to long at the output join.  Exact
+        # (ids < 2^31 by the bound check).
+        sym = sym.select(
+            F.col("u").cast("int").alias("u"), F.col("v").cast("int").alias("v")
+        )
     # broadcast-gather (r08, guide §2.4): the per-sweep values frame is
     # vertex-sized; when it fits the broadcast threshold, partition the
     # adjacency by the AGGREGATION key ``u`` and broadcast the values on
