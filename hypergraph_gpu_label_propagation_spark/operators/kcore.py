@@ -241,6 +241,10 @@ def coreness_round_frame(
     sym = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    if 0 < hg.num_vertices < 2**31:
+        sym = sym.select(
+            F.col("u").cast("int").alias("u"), F.col("v").cast("int").alias("v")
+        )
     from pyspark.storagelevel import StorageLevel
 
     adj = sym.repartition(n_part, "u" if use_bcast else "v").persist(
