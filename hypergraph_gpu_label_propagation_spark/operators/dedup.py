@@ -387,13 +387,23 @@ def embedding_near_dup_pairs(
     near_dup_pairs (MinHash) so both near-dup paths survive 100 TB.
     """
     from hypergraph_gpu_label_propagation_spark.operators.similarity import (
-        signlsh_band_buckets,
+        signlsh_band_buckets_arrow,
     )
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    # all bands in ONE corpus scan (signlsh_band_buckets), not num_bands
-    # unioned scans
-    bands = signlsh_band_buckets(vecs, id_col, vec_col, dim, num_bands, planes_per_band)
+    # all bands in ONE corpus scan, evaluated Arrow/numpy (guide §4.2 —
+    # the interpreted per-plane HOF fold was the dominant cost of this
+    # query: 1.4 s of 3.1 s at sf0.1; the numpy form is bit-identical
+    # by order-preserving accumulation — see signlsh_band_buckets_arrow
+    # — and measured 0.25 s).  Eagerly materialized (r08): both sides
+    # of the candidate self-join reference this frame, and with no
+    # exchange in its plan there is nothing for ReuseExchange to dedupe
+    # — unpinned, each side re-evaluated the bucket computation.
+    # localCheckpoint, not persist: blocks are GC-reclaimed, same
+    # discipline as simhash_dup_pairs.
+    bands = signlsh_band_buckets_arrow(
+        vecs, id_col, vec_col, dim, num_bands, planes_per_band
+    ).localCheckpoint(eager=True)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     bb = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

@@ -132,6 +132,26 @@ def test_freeze_scalar_counts_unchanged(spark):
         hg.unpersist()
 
 
+def test_signlsh_band_buckets_arrow_bit_identical(spark):
+    """The Arrow/numpy band-bucket evaluation must produce EXACTLY the
+    expression form's rows (order-preserving accumulation keeps every
+    sign bit identical) — this is what lets embedding_near_dup_pairs
+    swap implementations without touching its oracle."""
+    import numpy as np
+
+    from hypergraph_gpu_label_propagation_spark.operators.similarity import (
+        signlsh_band_buckets,
+        signlsh_band_buckets_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=24)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {tuple(r) for r in signlsh_band_buckets(df, "vec_id", "embedding", 24, 4, 6).collect()}
+    b = {tuple(r) for r in signlsh_band_buckets_arrow(df, "vec_id", "embedding", 24, 4, 6).collect()}
+    assert a == b and len(a) == 1200
+
+
 def test_bucketed_manifest_counts_and_kind_guard(spark, tmp_path):
     from hypergraph_gpu_label_propagation_spark.sources.bucketed import (
         _manifest_path,
