@@ -60,22 +60,44 @@ def k_core(
     """Vertices of the k-core of the co-occurrence graph."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    # symmetric adjacency (both directions) so degree = neighbor count
+    # symmetric adjacency (both directions) so degree = neighbor count.
+    # r08: partitioned by the aggregation key and persist()ed (not
+    # localCheckpoint — a checkpoint scan loses outputPartitioning) so
+    # that, with the vertex-sized alive set BROADCAST, each round's
+    # degree groupBy aggregates in place — zero E-sized exchanges per
+    # peel round; over the broadcast threshold the r07 shuffle shape
+    # runs unchanged (same rule as coreness).
     half = clique_expansion(hg) if adj is None else adj
-    adj = half.unionByName(
+    cores = hg.spark.sparkContext.defaultParallelism
+    n_part = loop_partitions(hg.count_incidence(), cores)
+    use_bcast = hg.num_vertices <= hg._gather_broadcast_rows()
+    if use_bcast:
+        n_part = max(n_part, cores)
+    sym = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    adj = (
+        sym.repartition(n_part, "u").persist(StorageLevel.MEMORY_AND_DISK)
+        if use_bcast
+        else sym.localCheckpoint(eager=True)
+    )
+    if use_bcast:
+        adj.count()
+
+    def _alive_join(frame):
+        return F.broadcast(frame) if use_bcast else frame
 
     alive = adj.select("u").distinct().localCheckpoint(eager=True)
     n_alive = alive.count()
     removed_per_iter: list[int] = []
     iterations = 0
-    cores = hg.spark.sparkContext.defaultParallelism
-    with loop_conf(hg.spark, loop_partitions(hg.count_incidence(), cores)):
+    with loop_conf(hg.spark, n_part):
         for _ in range(max_iterations):
             deg = (
-                adj.join(alive, "u")
-                .join(alive.select(F.col("u").alias("v")), "v")
+                adj.join(_alive_join(alive), "u")
+                .join(_alive_join(alive.select(F.col("u").alias("v"))), "v")
                 .groupBy("u")
                 .agg(F.count("*").alias("_d"))
             )
@@ -100,6 +122,8 @@ def k_core(
         .select("vertex_id", F.coalesce("_in", F.lit(0)).cast("int").alias("in_core"))
     )
     core_size = int(membership.agg(F.sum("in_core")).collect()[0][0] or 0)
+    if use_bcast:
+        adj.unpersist()  # loop-local cache; alive is checkpointed
     return KCoreResult(
         membership=membership,
         iterations=iterations,
